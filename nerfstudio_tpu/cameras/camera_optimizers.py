@@ -1,0 +1,96 @@
+"""Learnable per-camera pose corrections (reference:
+nerfstudio/cameras/camera_optimizers.py:87-208).
+
+A flax module holding an (num_cameras, 6) tangent-space table; modes:
+``off`` / ``SO3xR3`` / ``SE3``. Applied functionally: either to a RayBundle
+(rotate dirs + offset origins) or as a 3x4 delta for full-image models
+(splatfacto path)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerfstudio_tpu.cameras.lie_groups import exp_map_SE3, exp_map_SO3xR3
+from nerfstudio_tpu.core.rays import RayBundle
+from nerfstudio_tpu.utils import poses as pose_utils
+
+
+@dataclasses.dataclass
+class CameraOptimizerConfig:
+    """(reference camera_optimizers.py:41-84)"""
+
+    mode: Literal["off", "SO3xR3", "SE3"] = "off"
+    trans_l2_penalty: float = 1e-2
+    rot_l2_penalty: float = 1e-3
+
+
+class CameraOptimizer(nn.Module):
+    """(reference camera_optimizers.py:87-208)"""
+
+    num_cameras: int
+    mode: Literal["off", "SO3xR3", "SE3"] = "off"
+    trans_l2_penalty: float = 1e-2
+    rot_l2_penalty: float = 1e-3
+
+    @nn.compact
+    def __call__(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """indices: (..., ) int -> (..., 3, 4) correction transforms."""
+        if self.mode == "off":
+            eye = jnp.eye(4, dtype=jnp.float32)[:3]
+            return jnp.broadcast_to(eye, indices.shape + (3, 4))
+        adjustment = self.param(
+            "pose_adjustment", nn.initializers.zeros, (self.num_cameras, 6)
+        )
+        tangent = adjustment[indices]
+        if self.mode == "SO3xR3":
+            return exp_map_SO3xR3(tangent)
+        if self.mode == "SE3":
+            return exp_map_SE3(tangent)
+        raise ValueError(self.mode)
+
+    def apply_to_raybundle(self, ray_bundle: RayBundle) -> RayBundle:
+        """Rotate directions and offset origins (reference :148-153)."""
+        if self.mode == "off":
+            return ray_bundle
+        assert ray_bundle.camera_indices is not None
+        correction = self(ray_bundle.camera_indices[..., 0])  # (..., 3, 4)
+        origins = ray_bundle.origins + correction[..., :3, 3]
+        directions = jnp.einsum(
+            "...ij,...j->...i", correction[..., :3, :3], ray_bundle.directions,
+            precision="highest",
+        )
+        return ray_bundle.replace(origins=origins, directions=directions)
+
+    def apply_to_camera_pose(self, c2w: jnp.ndarray, camera_idx: jnp.ndarray) -> jnp.ndarray:
+        """Full-image path: compose correction with c2w (reference :155-177)."""
+        if self.mode == "off":
+            return c2w
+        correction = self(camera_idx)
+        return pose_utils.multiply(c2w, correction)
+
+
+def camera_opt_regularizer(
+    pose_adjustment: jnp.ndarray, trans_l2_penalty: float, rot_l2_penalty: float
+) -> jnp.ndarray:
+    """L2 penalty loss (reference camera_optimizers.py:179-189)."""
+    trans = pose_adjustment[:, :3]
+    rot = pose_adjustment[:, 3:]
+    return (
+        jnp.mean(jnp.linalg.norm(trans, axis=-1)) * trans_l2_penalty
+        + jnp.mean(jnp.linalg.norm(rot, axis=-1)) * rot_l2_penalty
+    )
+
+
+def camera_opt_metrics(pose_adjustment: Optional[jnp.ndarray]) -> dict:
+    """Translation/rotation magnitudes (reference camera_optimizers.py:191-200)."""
+    if pose_adjustment is None:
+        return {}
+    return {
+        "camera_opt_translation": jnp.linalg.norm(pose_adjustment[:, :3], axis=-1).mean(),
+        "camera_opt_rotation": jnp.linalg.norm(pose_adjustment[:, 3:], axis=-1).mean(),
+    }

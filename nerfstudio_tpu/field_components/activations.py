@@ -1,0 +1,26 @@
+"""Custom activations (reference: nerfstudio/field_components/activations.py).
+
+``trunc_exp``: exp forward, gradient computed with the input clamped to
+[-15, 15] — the density activation used by instant-ngp/nerfacto. Implemented
+as a jax.custom_vjp (reference uses a torch autograd.Function)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def trunc_exp(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
