@@ -1,0 +1,194 @@
+"""Data managers (reference: nerfstudio/data/datamanagers/, 1,600+ LoC).
+
+TPU-native re-design. The reference has three managers built around CPU
+dataloader workers (VanillaDataManager, ParallelDataManager,
+FullImageDatamanager). On TPU the winning layout is different:
+
+  * ``DeviceCacheDataManager`` — the whole training split lives in HBM as a
+    uint8 stack; pixel sampling + RGB gather are pure jit-side functions
+    (see pixel_samplers.py). The entire hot path (sample -> raygen -> field ->
+    loss) is ONE XLA program with no host round-trips. This subsumes both
+    Vanilla and Parallel managers: there is nothing left to parallelize on
+    the host.
+  * ``FullImageDatamanager`` — for splatfacto: yields (camera_index, image)
+    per step; images HBM-resident, camera sampled host-side (cheap, once per
+    step).
+
+For captures too large for HBM, ``max_images_in_memory`` bounds the resident
+set and the manager re-uploads a new random subset every
+``steps_per_reload`` steps (the analog of the reference's CacheDataloader
+``num_times_to_repeat_images``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Literal, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfstudio_tpu.cameras.cameras import Cameras
+from nerfstudio_tpu.core.rays import RayBundle
+from nerfstudio_tpu.data.datasets import InputDataset
+from nerfstudio_tpu.data.pixel_samplers import (
+    build_valid_indices,
+    gather_pixels,
+    sample_pair_pixel_indices,
+    sample_patch_pixel_indices,
+    sample_pixel_indices,
+    sample_pixel_indices_equirectangular,
+    sample_pixel_indices_from_valid,
+)
+
+
+@dataclasses.dataclass
+class DataManagerConfig:
+    """(reference base_datamanager.py:95-133)"""
+
+    train_num_rays_per_batch: int = 4096
+    eval_num_rays_per_batch: int = 4096
+    patch_size: int = 1
+    pixel_sampler: Literal["uniform", "equirectangular", "patch", "pair"] = "uniform"
+    camera_res_scale_factor: float = 1.0
+    max_images_in_memory: Optional[int] = None
+    steps_per_reload: int = 1000
+
+
+class DeviceCacheDataManager:
+    """HBM-resident dataset + jit-side pixel sampling."""
+
+    def __init__(
+        self,
+        config: DataManagerConfig,
+        train_dataset: InputDataset,
+        eval_dataset: Optional[InputDataset] = None,
+        sharding=None,
+    ):
+        self.config = config
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset or train_dataset
+        self._sharding = sharding
+
+        data = train_dataset.load_all()
+        self._all_images_host = data["images"]  # uint8 (N,H,W,C)
+        self._masks_host = data.get("masks")
+        self.num_train_images = len(train_dataset)
+        n, h, w, c = self._all_images_host.shape
+        self.image_height, self.image_width, self.num_channels = h, w, c
+
+        subset = self._select_subset(np.random.default_rng(0))
+        self.train_images = self._put(self._all_images_host[subset])
+        self._resident = subset
+        self.train_cameras: Cameras = train_dataset.cameras
+        self.eval_cameras: Cameras = self.eval_dataset.cameras
+
+        self.valid_indices = None
+        if self._masks_host is not None:
+            self.valid_indices = jnp.asarray(build_valid_indices(self._masks_host))
+
+    def _put(self, arr):
+        x = jnp.asarray(arr)
+        if self._sharding is not None:
+            x = jax.device_put(x, self._sharding)
+        return x
+
+    def _select_subset(self, rng) -> np.ndarray:
+        m = self.config.max_images_in_memory
+        if m is None or m >= self.num_train_images:
+            return np.arange(self.num_train_images)
+        return rng.choice(self.num_train_images, size=m, replace=False)
+
+    def maybe_reload(self, step: int, rng=None) -> None:
+        """Swap the resident image subset (host->HBM) on the reload cadence."""
+        m = self.config.max_images_in_memory
+        if m is None or m >= self.num_train_images:
+            return
+        if step % self.config.steps_per_reload != 0:
+            return
+        rng = rng or np.random.default_rng(step)
+        subset = self._select_subset(rng)
+        self.train_images = self._put(self._all_images_host[subset])
+        self._resident = subset
+
+    # -- jit-side pure functions ------------------------------------------
+
+    def sample_train_batch(
+        self, key: jax.Array, images: jnp.ndarray, num_rays: Optional[int] = None
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Pure: key -> (ray_indices (R,3), batch{'image': (R,C)}).
+
+        Call from inside the jitted train step with ``images`` passed as an
+        argument (donated/resident in HBM)."""
+        num_rays = num_rays or self.config.train_num_rays_per_batch
+        n = images.shape[0]
+        sampler = self.config.pixel_sampler
+        if self.valid_indices is not None:
+            idx = sample_pixel_indices_from_valid(key, num_rays, self.valid_indices)
+        elif sampler == "equirectangular":
+            idx = sample_pixel_indices_equirectangular(
+                key, num_rays, n, self.image_height, self.image_width
+            )
+        elif sampler == "patch":
+            idx = sample_patch_pixel_indices(
+                key, num_rays, self.config.patch_size, n, self.image_height, self.image_width
+            )
+        elif sampler == "pair":
+            idx = sample_pair_pixel_indices(
+                key, num_rays, n, self.image_height, self.image_width
+            )
+        else:
+            idx = sample_pixel_indices(key, num_rays, n, self.image_height, self.image_width)
+        rgb = gather_pixels(images, idx)
+        batch = {"image": rgb, "indices": idx}
+        return idx, batch
+
+    # -- eval --------------------------------------------------------------
+
+    def eval_image(self, idx: int) -> Tuple[int, Dict[str, np.ndarray]]:
+        """(camera index, {'image': float32 HWC}) for full-image eval."""
+        return idx, {"image": self.eval_dataset.get_image_float32(idx)}
+
+    def iter_eval_images(self):
+        for i in range(len(self.eval_dataset)):
+            yield self.eval_image(i)
+
+
+class FullImageDatamanager:
+    """Full-image batches for splatfacto (reference
+    full_images_datamanager.py:53-446). Images HBM-resident float32; the
+    camera index cycles via a host-side permutation."""
+
+    def __init__(
+        self,
+        config: DataManagerConfig,
+        train_dataset: InputDataset,
+        eval_dataset: Optional[InputDataset] = None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset or train_dataset
+        data = train_dataset.load_all()
+        self.train_images = jnp.asarray(data["images"])  # uint8 (N,H,W,C)
+        self.train_cameras = train_dataset.cameras
+        self.eval_cameras = self.eval_dataset.cameras
+        self._rng = np.random.default_rng(seed)
+        self._perm = self._rng.permutation(len(train_dataset))
+        self._cursor = 0
+
+    def next_train(self, step: int) -> Tuple[int, jnp.ndarray]:
+        if self._cursor >= len(self._perm):
+            self._perm = self._rng.permutation(len(self.train_dataset))
+            self._cursor = 0
+        idx = int(self._perm[self._cursor])
+        self._cursor += 1
+        img = self.train_images[idx]
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        return idx, img
+
+    def iter_eval_images(self):
+        for i in range(len(self.eval_dataset)):
+            yield i, {"image": self.eval_dataset.get_image_float32(i)}

@@ -1,0 +1,152 @@
+"""Datasets: image loading host-side (reference:
+nerfstudio/data/datasets/base_dataset.py:39-187 and specialty variants).
+
+Images load PIL -> numpy float32 [0,1]; alpha blended over the dataparser's
+alpha_color; masks load as bool. ``load_all`` stacks the whole split into one
+uint8 array — the device-cache datamanager feeds it straight into HBM."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nerfstudio_tpu.data.dataparsers.base_dataparser import DataparserOutputs
+
+
+class InputDataset:
+    """(reference base_dataset.py:39-187)"""
+
+    exclude_batch_keys_from_device: List[str] = ["image", "mask"]
+
+    def __init__(self, dataparser_outputs: DataparserOutputs, scale_factor: float = 1.0):
+        self._dataparser_outputs = dataparser_outputs
+        self.scale_factor = scale_factor
+        self.scene_box = dataparser_outputs.scene_box
+        self.metadata = dataparser_outputs.metadata
+        self.cameras = dataparser_outputs.cameras
+        if scale_factor != 1.0:
+            self.cameras = self.cameras.rescale_output_resolution(scaling_factor=scale_factor)
+
+    def __len__(self) -> int:
+        return len(self._dataparser_outputs.image_filenames)
+
+    @property
+    def image_filenames(self):
+        return self._dataparser_outputs.image_filenames
+
+    def get_numpy_image(self, image_idx: int) -> np.ndarray:
+        """uint8 HWC image, resized by scale_factor (reference :74-96)."""
+        from PIL import Image
+
+        path = self._dataparser_outputs.image_filenames[image_idx]
+        pil = Image.open(path)
+        if self.scale_factor != 1.0:
+            w, h = pil.size
+            pil = pil.resize(
+                (int(w * self.scale_factor), int(h * self.scale_factor)), Image.BILINEAR
+            )
+        image = np.asarray(pil, dtype=np.uint8)
+        if image.ndim == 2:
+            image = np.repeat(image[..., None], 3, axis=-1)
+        return image
+
+    def get_image_float32(self, image_idx: int) -> np.ndarray:
+        """float32 [0,1] RGB with alpha blending (reference :98-122)."""
+        image = self.get_numpy_image(image_idx).astype(np.float32) / 255.0
+        alpha_color = self._dataparser_outputs.alpha_color
+        if image.shape[-1] == 4:
+            if alpha_color is not None:
+                image = image[..., :3] * image[..., 3:] + np.asarray(alpha_color) * (
+                    1.0 - image[..., 3:]
+                )
+            else:
+                image = image[..., :3] * image[..., 3:]
+        return image
+
+    def get_mask(self, image_idx: int) -> Optional[np.ndarray]:
+        if self._dataparser_outputs.mask_filenames is None:
+            return None
+        from PIL import Image
+
+        mask = np.asarray(Image.open(self._dataparser_outputs.mask_filenames[image_idx]))
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        return (mask > 127)[..., None]
+
+    def get_data(self, image_idx: int) -> Dict:
+        data = {"image_idx": image_idx, "image": self.get_image_float32(image_idx)}
+        mask = self.get_mask(image_idx)
+        if mask is not None:
+            data["mask"] = mask
+        data.update(self.get_metadata(image_idx))
+        return data
+
+    def get_metadata(self, image_idx: int) -> Dict:
+        return {}
+
+    def __getitem__(self, image_idx: int) -> Dict:
+        return self.get_data(image_idx)
+
+    def load_all(self) -> Dict[str, np.ndarray]:
+        """Stack the whole split: uint8 images (N,H,W,3|4) + optional masks.
+
+        The TPU datamanager moves this once into HBM; per-step pixel
+        sampling then happens on device (no host round-trips)."""
+        images = [self.get_numpy_image(i) for i in range(len(self))]
+        shapes = {im.shape for im in images}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"variable resolutions {shapes}: use the per-image (jagged) path"
+            )
+        out = {"images": np.stack(images, axis=0)}
+        if self._dataparser_outputs.mask_filenames is not None:
+            out["masks"] = np.stack([self.get_mask(i) for i in range(len(self))], axis=0)
+        return out
+
+
+class DepthDataset(InputDataset):
+    """Dataset with per-image depth maps (reference
+    data/datasets/depth_dataset.py, minus the DPT pseudo-depth generation —
+    mono-depth generation is a host-side preprocessing step here)."""
+
+    def __init__(self, dataparser_outputs: DataparserOutputs, scale_factor: float = 1.0):
+        super().__init__(dataparser_outputs, scale_factor)
+        self.depth_filenames = dataparser_outputs.metadata.get("depth_filenames")
+        self.depth_unit_scale_factor = dataparser_outputs.metadata.get(
+            "depth_unit_scale_factor", 1e-3
+        )
+
+    def get_metadata(self, image_idx: int) -> Dict:
+        if not self.depth_filenames:
+            return {}
+        from PIL import Image
+
+        path = Path(self.depth_filenames[image_idx])
+        if path.suffix == ".npy":
+            depth = np.load(path)
+        else:
+            depth = np.asarray(Image.open(path), dtype=np.float32)
+        depth = depth * self.depth_unit_scale_factor
+        if depth.ndim == 2:
+            depth = depth[..., None]
+        return {"depth_image": depth.astype(np.float32)}
+
+
+class SemanticDataset(InputDataset):
+    """Dataset with semantic masks (reference data/datasets/semantic_dataset.py)."""
+
+    def __init__(self, dataparser_outputs: DataparserOutputs, scale_factor: float = 1.0):
+        super().__init__(dataparser_outputs, scale_factor)
+        self.semantics = dataparser_outputs.metadata.get("semantics")
+
+    def get_metadata(self, image_idx: int) -> Dict:
+        if self.semantics is None:
+            return {}
+        from PIL import Image
+
+        label = np.asarray(Image.open(self.semantics.filenames[image_idx]))
+        if label.ndim == 3:
+            label = label[..., 0]
+        return {"semantics": label[..., None].astype(np.int32)}
