@@ -78,11 +78,14 @@ def camera_opt_regularizer(
     pose_adjustment: jnp.ndarray, trans_l2_penalty: float, rot_l2_penalty: float
 ) -> jnp.ndarray:
     """L2 penalty loss (reference camera_optimizers.py:179-189)."""
+    # safe norm: jnp.linalg.norm has a NaN gradient at exactly 0 (the init!)
+    def _norm(x):
+        return jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
+
     trans = pose_adjustment[:, :3]
     rot = pose_adjustment[:, 3:]
     return (
-        jnp.mean(jnp.linalg.norm(trans, axis=-1)) * trans_l2_penalty
-        + jnp.mean(jnp.linalg.norm(rot, axis=-1)) * rot_l2_penalty
+        jnp.mean(_norm(trans)) * trans_l2_penalty + jnp.mean(_norm(rot)) * rot_l2_penalty
     )
 
 

@@ -28,14 +28,18 @@ def _rodrigues_terms(w: jnp.ndarray):
     (never via matmul — TPU f32 matmuls default to bf16 MXU precision, which
     is far too coarse for pose math)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     small = theta2 < _EPS
+    # NaN-safe under autodiff: the UNTAKEN where-branch must stay finite AND
+    # have finite derivatives (0 * NaN = NaN in the where-VJP), so every
+    # denominator uses a clamped theta2.
+    theta2_safe = jnp.maximum(theta2, _EPS * _EPS)
+    theta = jnp.sqrt(theta2_safe)
     W = _skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     W2 = w[..., :, None] * w[..., None, :] - theta2[..., None, None] * eye
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / theta2_safe)
     return W, W2, eye, A, B, C
 
 

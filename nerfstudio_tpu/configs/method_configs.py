@@ -1,0 +1,171 @@
+"""Built-in method registry (reference: nerfstudio/configs/method_configs.py:87-814).
+
+Each entry is a full MethodConfig: trainer + datamanager + dataparser + model
++ per-group optimizers. Methods registered here appear as ``nst-train``
+subcommands; plugins extend the dict via entry points
+(nerfstudio_tpu/plugins.py)."""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from nerfstudio_tpu.data.datamanagers import DataManagerConfig
+from nerfstudio_tpu.data.dataparsers.base_dataparser import DataParserConfig
+from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+from nerfstudio_tpu.data.dataparsers.nerfstudio_dataparser import NerfstudioDataParserConfig
+from nerfstudio_tpu.engine.optimizers import AdamOptimizerConfig, RAdamOptimizerConfig
+from nerfstudio_tpu.engine.schedulers import (
+    CosineDecaySchedulerConfig,
+    ExponentialDecaySchedulerConfig,
+)
+from nerfstudio_tpu.engine.trainer import TrainerConfig
+from nerfstudio_tpu.models.base_model import ModelConfig
+from nerfstudio_tpu.models.nerfacto import NerfactoModelConfig
+from nerfstudio_tpu.models.vanilla_nerf import VanillaModelConfig
+
+
+@dataclasses.dataclass
+class MethodConfig:
+    """Top-level per-method config (the reference's TrainerConfig bundle)."""
+
+    method_name: str = "base"
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    datamanager: DataManagerConfig = dataclasses.field(default_factory=DataManagerConfig)
+    dataparser: DataParserConfig = dataclasses.field(default_factory=NerfstudioDataParserConfig)
+    model: ModelConfig = dataclasses.field(default_factory=NerfactoModelConfig)
+    optimizers: Dict[str, Dict[str, Any]] = dataclasses.field(default_factory=dict)
+    data: Optional[Path] = None
+    seed: int = 42
+
+    def __post_init__(self):
+        self.trainer.method_name = self.method_name
+
+
+method_configs: Dict[str, MethodConfig] = {}
+descriptions = {
+    "nerfacto": "Recommended real->nerf model. Hash grid + proposal sampling.",
+    "nerfacto-big": "Larger nerfacto (more features, longer schedule).",
+    "nerfacto-huge": "Largest nerfacto.",
+    "depth-nerfacto": "Nerfacto with depth supervision.",
+    "vanilla-nerf": "Original NeRF (coarse/fine MLPs).",
+    "mipnerf": "Mip-NeRF with integrated positional encoding.",
+    "dnerf": "Dynamic NeRF (temporal deformation).",
+    "instant-ngp": "Instant-NGP: occupancy-grid marching + fused hash MLP.",
+    "instant-ngp-bounded": "Instant-NGP, bounded scene variant.",
+    "tensorf": "TensoRF vector-matrix decomposition.",
+    "splatfacto": "3D Gaussian Splatting.",
+    "splatfacto-big": "3DGS with more gaussians.",
+    "splatfacto-mcmc": "3DGS with MCMC densification.",
+    "neus": "NeuS SDF surface reconstruction.",
+    "neus-facto": "NeuS with proposal sampling.",
+    "semantic-nerfw": "Semantic NeRF-W.",
+    "phototourism": "NeRF-W for unstructured photo collections.",
+    "generfacto": "Text-to-3D (SDS).",
+}
+
+
+def _nerfacto_optimizers(max_steps=30000):
+    return {
+        "field": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=1e-4, max_steps=max_steps),
+        },
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=1e-4, max_steps=max_steps),
+        },
+        "camera_optimizer": {
+            "optimizer": AdamOptimizerConfig(lr=6e-4, eps=1e-15),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=6e-6, max_steps=max_steps),
+        },
+    }
+
+
+method_configs["nerfacto"] = MethodConfig(
+    method_name="nerfacto",
+    trainer=TrainerConfig(
+        max_num_iterations=30000, steps_per_eval_image=500, steps_per_save=2000
+    ),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=4096, eval_num_rays_per_batch=4096),
+    dataparser=NerfstudioDataParserConfig(),
+    model=NerfactoModelConfig(eval_num_rays_per_chunk=1 << 15),
+    optimizers=_nerfacto_optimizers(),
+)
+
+method_configs["nerfacto-big"] = MethodConfig(
+    method_name="nerfacto-big",
+    trainer=TrainerConfig(max_num_iterations=100000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=8192),
+    dataparser=NerfstudioDataParserConfig(),
+    model=NerfactoModelConfig(
+        eval_num_rays_per_chunk=1 << 15,
+        num_nerf_samples_per_ray=128,
+        num_proposal_samples_per_ray=(512, 256),
+        hidden_dim=128,
+        hidden_dim_color=128,
+        appearance_embed_dim=32,
+        max_res=4096,
+        proposal_weights_anneal_max_num_iters=5000,
+        log2_hashmap_size=21,
+    ),
+    optimizers=_nerfacto_optimizers(max_steps=100000),
+)
+
+method_configs["nerfacto-huge"] = MethodConfig(
+    method_name="nerfacto-huge",
+    trainer=TrainerConfig(max_num_iterations=100000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=16384),
+    dataparser=NerfstudioDataParserConfig(),
+    model=NerfactoModelConfig(
+        eval_num_rays_per_chunk=1 << 15,
+        num_nerf_samples_per_ray=64,
+        num_proposal_samples_per_ray=(512, 512),
+        proposal_net_args_list=(
+            {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 512},
+            {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 7, "max_res": 2048},
+        ),
+        hidden_dim=256,
+        hidden_dim_color=256,
+        appearance_embed_dim=32,
+        max_res=8192,
+        proposal_weights_anneal_max_num_iters=5000,
+        log2_hashmap_size=21,
+        features_per_level=4,
+        num_levels=16,
+    ),
+    optimizers=_nerfacto_optimizers(max_steps=100000),
+)
+
+method_configs["vanilla-nerf"] = MethodConfig(
+    method_name="vanilla-nerf",
+    trainer=TrainerConfig(max_num_iterations=16500, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
+    dataparser=BlenderDataParserConfig(),
+    model=VanillaModelConfig(),
+    optimizers={
+        "field": {
+            "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-8),
+            "scheduler": None,
+        },
+        "temporal_distortion": {
+            "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-8),
+            "scheduler": None,
+        },
+    },
+)
+
+
+def get_method(name: str) -> MethodConfig:
+    import copy
+
+    from nerfstudio_tpu.plugins import discover_methods
+
+    all_methods = dict(method_configs)
+    all_methods.update(discover_methods())
+    if name not in all_methods:
+        raise SystemExit(
+            f"unknown method {name!r}; available: {', '.join(sorted(all_methods))}"
+        )
+    return copy.deepcopy(all_methods[name])

@@ -1,0 +1,186 @@
+"""Trainer (reference: nerfstudio/engine/trainer.py:93-567).
+
+Hosts the train loop around the pipeline's jitted train_step: per-step
+host work is only key splitting + step-kwargs computation (the functional
+TrainingCallback replacement); eval/checkpoint cadences; rays/sec metrics;
+orbax checkpointing (preemption-safe resume — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfstudio_tpu.pipelines.base_pipeline import TrainState, VanillaPipeline
+from nerfstudio_tpu.utils import writer as writer_lib
+from nerfstudio_tpu.utils.profiler import time_function
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """(reference engine/trainer.py:54-90)"""
+
+    method_name: str = "base"
+    experiment_name: Optional[str] = None
+    output_dir: Path = Path("outputs")
+    timestamp: str = "{timestamp}"
+    max_num_iterations: int = 30000
+    steps_per_save: int = 2000
+    steps_per_eval_batch: int = 500
+    steps_per_eval_image: int = 500
+    steps_per_eval_all_images: int = 25000
+    save_only_latest_checkpoint: bool = True
+    load_dir: Optional[Path] = None
+    load_step: Optional[int] = None
+    log_gradients: bool = False
+    vis: str = "tensorboard"
+
+    def get_base_dir(self) -> Path:
+        exp = self.experiment_name or "unnamed"
+        ts = self.timestamp
+        if ts == "{timestamp}":
+            ts = time.strftime("%Y-%m-%d_%H%M%S")
+        return Path(self.output_dir) / exp / self.method_name / ts
+
+    def get_checkpoint_dir(self, base_dir: Path) -> Path:
+        return base_dir / "nerfstudio_models"
+
+
+class Trainer:
+    """(reference engine/trainer.py:93-567)"""
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        pipeline: VanillaPipeline,
+        step_kwargs_fn=None,
+        seed: int = 42,
+    ):
+        self.config = config
+        self.pipeline = pipeline
+        self.step_kwargs_fn = step_kwargs_fn or (lambda step: {})
+        self.base_dir = config.get_base_dir()
+        self.checkpoint_dir = config.get_checkpoint_dir(self.base_dir)
+        self.key = jax.random.PRNGKey(seed)
+        self.state: Optional[TrainState] = None
+        self.writer = writer_lib.EventWriter(self.base_dir, vis=config.vis)
+        self.viewer = None
+        self._ckpt_mgr = None
+
+    # ------------------------------------------------------------------
+    def setup(self) -> None:
+        self.key, init_key = jax.random.split(self.key)
+        self.state = self.pipeline.init_state(init_key)
+        self.pipeline.build_train_step()
+        if self.config.load_dir is not None:
+            self._load_checkpoint()
+
+    # ------------------------------------------------------------------
+    def _checkpoint_manager(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+            options = ocp.CheckpointManagerOptions(
+                max_to_keep=1 if self.config.save_only_latest_checkpoint else None,
+                create=True,
+            )
+            self._ckpt_mgr = ocp.CheckpointManager(
+                self.checkpoint_dir.absolute(), options=options
+            )
+        return self._ckpt_mgr
+
+    def save_checkpoint(self, step: int) -> None:
+        """(reference trainer.py:456-484)"""
+        import orbax.checkpoint as ocp
+
+        mgr = self._checkpoint_manager()
+        payload = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        mgr.save(step, args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+
+    def _load_checkpoint(self) -> None:
+        """(reference trainer.py:420-453)"""
+        import orbax.checkpoint as ocp
+
+        load_dir = Path(self.config.load_dir)
+        options = ocp.CheckpointManagerOptions(create=False)
+        mgr = ocp.CheckpointManager(load_dir.absolute(), options=options)
+        step = self.config.load_step or mgr.latest_step()
+        assert step is not None, f"no checkpoints in {load_dir}"
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        self.state = TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        print(f"loaded checkpoint at step {step} from {load_dir}")
+
+    # ------------------------------------------------------------------
+    @time_function
+    def train_iteration(self, step: int) -> Dict[str, float]:
+        """(reference trainer.py:487-530)"""
+        self.key, step_key = jax.random.split(self.key)
+        kwargs = self.step_kwargs_fn(step)
+        dm = self.pipeline.datamanager
+        dm.maybe_reload(step)
+        self.state, metrics = self.pipeline.train_step(
+            self.state, dm.train_images, step_key, **kwargs
+        )
+        return metrics
+
+    def train(self) -> None:
+        """Main loop (reference trainer.py:233-312)."""
+        assert self.state is not None, "call setup() first"
+        cfg = self.config
+        num_rays = self.pipeline.datamanager.config.train_num_rays_per_batch
+        self.base_dir.mkdir(parents=True, exist_ok=True)
+
+        t_last = time.perf_counter()
+        for step in range(int(self.state.step), cfg.max_num_iterations):
+            metrics = self.train_iteration(step)
+
+            if step % 10 == 0 or step == cfg.max_num_iterations - 1:
+                jax.block_until_ready(self.state.params)
+                now = time.perf_counter()
+                rays_per_sec = num_rays * max(1, min(10, step + 1)) / (now - t_last)
+                t_last = now
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                host_metrics["train_rays_per_sec"] = rays_per_sec
+                self.writer.put_dict("train", host_metrics, step)
+
+            if self.viewer is not None:
+                self.viewer.update(self, step)
+
+            if cfg.steps_per_eval_image and step % cfg.steps_per_eval_image == 0 and step > 0:
+                self.eval_iteration(step)
+            if cfg.steps_per_save and (step + 1) % cfg.steps_per_save == 0:
+                self.save_checkpoint(step + 1)
+
+        self.save_checkpoint(cfg.max_num_iterations)
+        self.writer.flush()
+        print(f"training finished; checkpoints in {self.checkpoint_dir}")
+
+    def eval_iteration(self, step: int) -> Dict[str, float]:
+        """(reference trainer.py:533-567)"""
+        n_eval = len(self.pipeline.datamanager.eval_dataset)
+        idx = step % max(n_eval, 1)
+        metrics, images = self.pipeline.get_eval_image_metrics_and_images(self.state, idx)
+        self.writer.put_dict("eval", metrics, step)
+        self.writer.put_image("eval/img", images["img"], step)
+        return metrics

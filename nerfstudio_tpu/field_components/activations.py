@@ -12,11 +12,13 @@ import jax.numpy as jnp
 
 @jax.custom_vjp
 def trunc_exp(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.exp(x)
+    # forward exponent clamped at 30 (density ~1e13): prevents f32 overflow ->
+    # inf*delta -> (inf - inf) NaNs inside the transmittance cumsum
+    return jnp.exp(jnp.minimum(x, 30.0))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.minimum(x, 30.0)), x
 
 
 def _trunc_exp_bwd(x, g):

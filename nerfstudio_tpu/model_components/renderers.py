@@ -63,10 +63,13 @@ def render_rgb(
     weights: jnp.ndarray,
     background_color: BackgroundColor = "random",
     key: Optional[jax.Array] = None,
-) -> jnp.ndarray:
+    return_background: bool = False,
+):
     """Weighted-sum compositing + background fill (reference renderers.py:60-146).
 
     rgb: (..., S, 3); weights: (..., S, 1) -> (..., 3).
+    With return_background=True also returns the background color used (so
+    models can stash it for alpha-GT loss blending).
     """
     comp = jnp.sum(weights * rgb, axis=-2)
     accumulation = jnp.sum(weights, axis=-2)
@@ -76,7 +79,10 @@ def render_rgb(
             bg = jnp.broadcast_to(BACKGROUND_COLOR_OVERRIDE, bg.shape)
     else:
         bg = get_background_color(background_color, comp.shape, key=key)
-    return comp + bg * (1.0 - accumulation)
+    out = comp + bg * (1.0 - accumulation)
+    if return_background:
+        return out, bg
+    return out
 
 
 def blend_background(image: jnp.ndarray, background_color: BackgroundColor = "random", key=None):
@@ -92,14 +98,25 @@ def blend_background_for_loss_computation(
     pred_image: jnp.ndarray,
     pred_accumulation: jnp.ndarray,
     gt_image: jnp.ndarray,
+    background_color: BackgroundColor = "black",
+    background: Optional[jnp.ndarray] = None,
 ) -> tuple:
-    """Blend GT alpha against the *predicted* accumulation so the loss ignores
-    the background color choice (reference renderers.py:175-199)."""
-    if gt_image.shape[-1] == 4:
-        alpha = gt_image[..., 3:]
-        gt = gt_image[..., :3] * alpha + pred_image * (1.0 - alpha)
-        return pred_image, gt
-    return pred_image, gt_image
+    """Prepare (pred, gt) for the RGB loss when GT has alpha
+    (reference renderers.py:175-199): GT is blended over a CONCRETE color so
+    the background IS supervised. ``background`` (the color the renderer
+    actually used — stash from render_rgb(return_background=True)) takes
+    precedence; "last_sample" degrades to black."""
+    if gt_image.shape[-1] != 4:
+        return pred_image, gt_image
+    alpha = gt_image[..., 3:]
+    if background is not None:
+        bg = background
+    elif background_color in ("last_sample", "random"):
+        bg = jnp.zeros_like(pred_image)
+    else:
+        bg = get_background_color(background_color, pred_image.shape)
+    gt = gt_image[..., :3] * alpha + bg * (1.0 - alpha)
+    return pred_image, gt
 
 
 def render_sh(

@@ -1,0 +1,293 @@
+"""Nerfacto — the flagship method (reference: nerfstudio/models/nerfacto.py:135-431).
+
+Camera-opt on the ray bundle -> ProposalNetworkSampler over two
+HashMLPDensityFields -> NerfactoField -> RGB/depth/accumulation renderers ->
+rgb MSE + interlevel + distortion (+ orientation/pred-normal) + camera-opt
+regularizer.
+
+Functional callback replacement: the proposal weight-anneal factor and the
+proposal-update gate are computed host-side per step (``step_kwargs``) and
+passed as jit inputs (reference handled these with TrainingCallbacks,
+nerfacto.py:262-296)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Literal, Optional, Tuple, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfstudio_tpu.cameras.camera_optimizers import CameraOptimizer, camera_opt_regularizer
+from nerfstudio_tpu.core.rays import RayBundle
+from nerfstudio_tpu.field_components.field_heads import FieldHeadNames
+from nerfstudio_tpu.fields.density_fields import HashMLPDensityField
+from nerfstudio_tpu.fields.nerfacto_field import NerfactoField
+from nerfstudio_tpu.model_components import renderers
+from nerfstudio_tpu.model_components.losses import (
+    distortion_loss,
+    interlevel_loss,
+    mse_loss,
+    orientation_loss,
+    pred_normal_loss,
+)
+from nerfstudio_tpu.model_components.ray_samplers import (
+    ProposalNetworkSampler,
+    UniformLinDispPiecewiseSampler,
+    UniformSampler,
+)
+from nerfstudio_tpu.model_components.scene_colliders import NearFarCollider
+from nerfstudio_tpu.models.base_model import Model, ModelConfig
+from nerfstudio_tpu.utils.metrics import psnr
+
+
+@dataclasses.dataclass
+class NerfactoModelConfig(ModelConfig):
+    """(reference nerfacto.py:52-132)"""
+
+    near_plane: float = 0.05
+    far_plane: float = 1000.0
+    background_color: str = "last_sample"
+    hidden_dim: int = 64
+    hidden_dim_color: int = 64
+    num_levels: int = 16
+    base_res: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    num_proposal_samples_per_ray: Tuple[int, ...] = (256, 96)
+    num_nerf_samples_per_ray: int = 48
+    proposal_update_every: int = 5
+    proposal_warmup: int = 5000
+    num_proposal_iterations: int = 2
+    proposal_net_args_list: Tuple[Dict, ...] = (
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 128},
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 256},
+    )
+    proposal_initial_sampler: Literal["piecewise", "uniform"] = "piecewise"
+    interlevel_loss_mult: float = 1.0
+    distortion_loss_mult: float = 0.002
+    orientation_loss_mult: float = 0.0001
+    pred_normal_loss_mult: float = 0.001
+    use_proposal_weight_anneal: bool = True
+    use_average_appearance_embedding: bool = True
+    proposal_weights_anneal_slope: float = 10.0
+    proposal_weights_anneal_max_num_iters: int = 1000
+    use_single_jitter: bool = True
+    predict_normals: bool = False
+    disable_scene_contraction: bool = False
+    use_appearance_embedding: bool = True
+    appearance_embed_dim: int = 32
+    average_init_density: float = 0.01
+    camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "SO3xR3"
+    implementation: str = "xla"
+
+    def __post_init__(self):
+        if self._target is None:
+            self._target = NerfactoModel
+        if self.collider_params is None:
+            pass
+
+
+class NerfactoModel(Model):
+    """(reference nerfacto.py:135-431)"""
+
+    config: NerfactoModelConfig = None
+
+    def setup(self):
+        cfg = self.config
+        self.field = NerfactoField(
+            aabb=self.scene_aabb,
+            num_images=self.num_train_data,
+            hidden_dim=cfg.hidden_dim,
+            num_levels=cfg.num_levels,
+            base_res=cfg.base_res,
+            max_res=cfg.max_res,
+            log2_hashmap_size=cfg.log2_hashmap_size,
+            features_per_level=cfg.features_per_level,
+            hidden_dim_color=cfg.hidden_dim_color,
+            use_average_appearance_embedding=cfg.use_average_appearance_embedding,
+            use_appearance_embedding=cfg.use_appearance_embedding,
+            appearance_embedding_dim=cfg.appearance_embed_dim if cfg.use_appearance_embedding else 0,
+            use_pred_normals=cfg.predict_normals,
+            disable_scene_contraction=cfg.disable_scene_contraction,
+            average_init_density=cfg.average_init_density,
+            implementation=cfg.implementation,
+            train=self.train,
+        )
+        self.proposal_networks = [
+            HashMLPDensityField(
+                aabb=self.scene_aabb,
+                use_spatial_distortion=not cfg.disable_scene_contraction,
+                average_init_density=cfg.average_init_density,
+                implementation=cfg.implementation,
+                **cfg.proposal_net_args_list[min(i, len(cfg.proposal_net_args_list) - 1)],
+            )
+            for i in range(cfg.num_proposal_iterations)
+        ]
+        self.camera_optimizer = CameraOptimizer(
+            num_cameras=self.num_train_data, mode=cfg.camera_optimizer_mode
+        )
+
+    def get_outputs(
+        self,
+        ray_bundle: RayBundle,
+        key: Optional[jax.Array] = None,
+        anneal: float = 1.0,
+        update_proposals: bool = True,
+        **kwargs,
+    ):
+        cfg = self.config
+        if self.train:
+            ray_bundle = self.camera_optimizer.apply_to_raybundle(ray_bundle)
+        if ray_bundle.nears is None or ray_bundle.fars is None:
+            ray_bundle = NearFarCollider(cfg.near_plane, cfg.far_plane)(
+                ray_bundle, training=self.train
+            )
+
+        k_samp = k_bg = None
+        if key is not None:
+            k_samp, k_bg = jax.random.split(key)
+
+        initial_sampler = None
+        if cfg.proposal_initial_sampler == "uniform":
+            initial_sampler = UniformSampler(
+                cfg.num_proposal_samples_per_ray[0], single_jitter=cfg.use_single_jitter
+            )
+        sampler = ProposalNetworkSampler(
+            num_proposal_samples_per_ray=cfg.num_proposal_samples_per_ray,
+            num_nerf_samples_per_ray=cfg.num_nerf_samples_per_ray,
+            num_proposal_network_iterations=cfg.num_proposal_iterations,
+            single_jitter=cfg.use_single_jitter,
+            initial_sampler=initial_sampler,
+        )
+        density_fns = [net.density_fn for net in self.proposal_networks]
+        ray_samples, weights_list, ray_samples_list = sampler(
+            ray_bundle,
+            density_fns,
+            key=k_samp,
+            anneal=anneal,
+            update_proposals=update_proposals,
+        )
+
+        field_outputs = self.field(ray_samples, compute_normals=cfg.predict_normals)
+        weights = ray_samples.get_weights(field_outputs[FieldHeadNames.DENSITY])
+        weights_list = weights_list + [weights]
+        ray_samples_list = ray_samples_list + [ray_samples]
+
+        rgb, background = renderers.render_rgb(
+            field_outputs[FieldHeadNames.RGB], weights,
+            background_color=cfg.background_color, key=k_bg,
+            return_background=True,
+        )
+        depth = renderers.render_depth(weights, ray_samples, method="median")
+        expected_depth = renderers.render_depth(weights, ray_samples, method="expected")
+        accumulation = renderers.render_accumulation(weights)
+
+        outputs = {
+            "rgb": rgb,
+            "accumulation": accumulation,
+            "depth": depth,
+            "expected_depth": expected_depth,
+        }
+        if self.train:
+            outputs["background"] = background
+        if cfg.predict_normals:
+            outputs["normals"] = renderers.render_normals(
+                field_outputs[FieldHeadNames.NORMALS], weights
+            )
+            outputs["pred_normals"] = renderers.render_normals(
+                field_outputs[FieldHeadNames.PRED_NORMALS], weights
+            )
+        if self.train:
+            outputs["weights_list"] = weights_list
+            outputs["ray_samples_list"] = ray_samples_list
+            if cfg.predict_normals:
+                outputs["rendered_orientation_loss"] = orientation_loss(
+                    weights, field_outputs[FieldHeadNames.NORMALS], ray_bundle.directions
+                )
+                outputs["rendered_pred_normal_loss"] = pred_normal_loss(
+                    weights,
+                    jax.lax.stop_gradient(field_outputs[FieldHeadNames.NORMALS]),
+                    field_outputs[FieldHeadNames.PRED_NORMALS],
+                )
+        for i in range(cfg.num_proposal_iterations):
+            outputs[f"prop_depth_{i}"] = renderers.render_depth(
+                weights_list[i], ray_samples_list[i], method="median"
+            )
+        return outputs
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def get_metrics_dict(outputs, batch, params=None):
+        pred, gt = renderers.blend_background_for_loss_computation(
+            outputs["rgb"], outputs["accumulation"], batch["image"],
+            background=outputs.get("background"),
+        )
+        metrics = {"psnr": psnr(pred, gt)}
+        if "weights_list" in outputs:
+            metrics["distortion"] = distortion_loss(
+                outputs["weights_list"], outputs["ray_samples_list"]
+            )
+        return metrics
+
+    @staticmethod
+    def get_loss_dict(outputs, batch, metrics_dict=None, params=None, config=None, **kw):
+        cfg = config
+        pred, gt = renderers.blend_background_for_loss_computation(
+            outputs["rgb"], outputs["accumulation"], batch["image"],
+            background=outputs.get("background"),
+        )
+        loss_dict = {"rgb_loss": mse_loss(pred, gt)}
+        if "weights_list" in outputs:
+            mult_i = cfg.interlevel_loss_mult if cfg else 1.0
+            mult_d = cfg.distortion_loss_mult if cfg else 0.002
+            loss_dict["interlevel_loss"] = mult_i * interlevel_loss(
+                outputs["weights_list"], outputs["ray_samples_list"]
+            )
+            dist = (
+                metrics_dict["distortion"]
+                if metrics_dict and "distortion" in metrics_dict
+                else distortion_loss(outputs["weights_list"], outputs["ray_samples_list"])
+            )
+            loss_dict["distortion_loss"] = mult_d * dist
+            if cfg and cfg.predict_normals:
+                loss_dict["orientation_loss"] = cfg.orientation_loss_mult * jnp.mean(
+                    outputs["rendered_orientation_loss"]
+                )
+                loss_dict["pred_normal_loss"] = cfg.pred_normal_loss_mult * jnp.mean(
+                    outputs["rendered_pred_normal_loss"]
+                )
+            if params is not None:
+                pose_adj = (
+                    params["params"].get("camera_optimizer", {}).get("pose_adjustment")
+                )
+                if pose_adj is not None:
+                    loss_dict["camera_opt_regularizer"] = camera_opt_regularizer(
+                        pose_adj, trans_l2_penalty=1e-2, rot_l2_penalty=1e-3
+                    )
+        return loss_dict
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def step_kwargs(step: int, config: NerfactoModelConfig) -> Dict:
+        """Per-step anneal + proposal-update gate (reference nerfacto.py:262-296)."""
+        kwargs = {}
+        if config.use_proposal_weight_anneal:
+            n = config.proposal_weights_anneal_max_num_iters
+            t = np.clip(step / n, 0, 1)
+            b = lambda x, s: (s * x) / ((s - 1) * x + 1)
+            kwargs["anneal"] = float(b(t, config.proposal_weights_anneal_slope))
+        else:
+            kwargs["anneal"] = 1.0
+        # update schedule: every-1 during warmup ramping to every-N after
+        every = int(
+            np.clip(
+                np.interp(step, [0, config.proposal_warmup], [0, config.proposal_update_every]),
+                1,
+                config.proposal_update_every,
+            )
+        )
+        kwargs["update_proposals"] = step < config.proposal_warmup or step % every == 0
+        return kwargs

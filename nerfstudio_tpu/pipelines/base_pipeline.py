@@ -1,0 +1,220 @@
+"""Pipeline: couples DataManager + Model into jitted train/eval programs
+(reference: nerfstudio/pipelines/base_pipeline.py:53-467).
+
+TPU-native re-design. The reference pipeline is an nn.Module juggling DDP
+wrappers and device copies; here the pipeline *builds XLA programs*:
+
+  * ``train_step``: ONE jitted, donated-state program doing pixel sampling,
+    ray generation, field eval, loss, backward, and the optax update. Under a
+    mesh, the ray batch is sharded on the ``data`` axis and XLA inserts the
+    gradient psum — the DDP replacement (reference :279-282).
+  * ``eval_chunk``: jitted fixed-size chunk renderer used for full-image
+    eval/render (reference base_model.py:185-205 chunking).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfstudio_tpu.cameras.cameras import Cameras
+from nerfstudio_tpu.data.datamanagers import DeviceCacheDataManager
+from nerfstudio_tpu.model_components.ray_generators import generate_rays_from_indices
+from nerfstudio_tpu.models.base_model import Model, render_camera
+from nerfstudio_tpu.parallel.mesh import shard_rays
+from nerfstudio_tpu.utils.metrics import lpips, psnr, ssim
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+class VanillaPipeline:
+    """(reference base_pipeline.py:242-467)"""
+
+    def __init__(
+        self,
+        datamanager: DeviceCacheDataManager,
+        model_train: Model,
+        model_eval: Model,
+        tx: optax.GradientTransformation,
+        mesh=None,
+        loss_coefficients: Optional[Dict[str, float]] = None,
+    ):
+        self.datamanager = datamanager
+        self.model_train = model_train
+        self.model_eval = model_eval
+        self.tx = tx
+        self.mesh = mesh
+        self.loss_coefficients = loss_coefficients or {}
+        self._train_step = None
+        self._eval_chunk = None
+
+    # ------------------------------------------------------------------
+    def init_params(self, key: jax.Array, example_rays=None):
+        if example_rays is None:
+            idx, _ = self.datamanager.sample_train_batch(
+                jax.random.PRNGKey(0), self.datamanager.train_images, num_rays=8
+            )
+            example_rays = generate_rays_from_indices(self.datamanager.train_cameras, idx)
+        return self.model_train.init(key, example_rays, key=jax.random.PRNGKey(0))
+
+    def init_state(self, key: jax.Array, params=None, example_rays=None) -> TrainState:
+        if params is None:
+            params = self.init_params(key, example_rays)
+        assert self.tx is not None, "set pipeline.tx before init_state"
+        opt_state = self.tx.init(params)
+        return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    def get_param_groups(self, state: TrainState) -> Dict[str, int]:
+        top = state.params["params"]
+        return {k: sum(x.size for x in jax.tree_util.tree_leaves(v)) for k, v in top.items()}
+
+    # ------------------------------------------------------------------
+    def _weighted_total(self, loss_dict: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        total = 0.0
+        for k, v in loss_dict.items():
+            total = total + self.loss_coefficients.get(k, 1.0) * v
+        return total
+
+    def build_train_step(self) -> Callable:
+        """(state, images, key, step_kwargs) -> (state, metrics)."""
+        dm = self.datamanager
+        cameras = dm.train_cameras
+        model = self.model_train
+        mesh = self.mesh
+        tx = self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("update_proposals",))
+        def train_step(
+            state: TrainState,
+            images: jnp.ndarray,
+            key: jax.Array,
+            anneal: float = 1.0,
+            update_proposals: bool = True,
+            cosine_anneal: float = 1.0,
+        ):
+            k_pix, k_model = jax.random.split(key)
+            idx, batch = dm.sample_train_batch(k_pix, images)
+            idx = shard_rays(idx, mesh)
+            batch = shard_rays(batch, mesh)
+
+            def loss_fn(params):
+                rb = generate_rays_from_indices(cameras, idx)
+                outputs = model.apply(
+                    params,
+                    rb,
+                    key=k_model,
+                    anneal=anneal,
+                    update_proposals=update_proposals,
+                    cosine_anneal=cosine_anneal,
+                )
+                metrics = model.get_metrics_dict(outputs, batch, params)
+                loss_dict = model.get_loss_dict(
+                    outputs, batch, metrics, params, config=model.config
+                )
+                return self._weighted_total(loss_dict), (loss_dict, metrics)
+
+            (loss, (loss_dict, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=new_params, opt_state=new_opt_state, step=state.step + 1
+            )
+            out_metrics = {"loss": loss, **loss_dict, **metrics}
+            return new_state, out_metrics
+
+        self._train_step = train_step
+        return train_step
+
+    def train_step(self, state, images, key, **step_kwargs):
+        if self._train_step is None:
+            self.build_train_step()
+        return self._train_step(state, images, key, **step_kwargs)
+
+    # ------------------------------------------------------------------
+    def build_eval_chunk(self) -> Callable:
+        model = self.model_eval
+
+        @jax.jit
+        def eval_chunk(params, ray_bundle):
+            return model.apply(params, ray_bundle, key=None)
+
+        self._eval_chunk = eval_chunk
+        return eval_chunk
+
+    def render_camera(
+        self, params, cameras: Cameras, camera_idx: int, chunk_size: int = 4096
+    ) -> Dict[str, np.ndarray]:
+        if self._eval_chunk is None:
+            self.build_eval_chunk()
+        return render_camera(
+            lambda rb: self._eval_chunk(params, rb), cameras, camera_idx, chunk_size
+        )
+
+    def get_eval_image_metrics_and_images(
+        self, state: TrainState, camera_idx: int, chunk_size: int = 4096
+    ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
+        """(reference base_pipeline.py:328-380)"""
+        cam_idx, batch = self.datamanager.eval_image(camera_idx)
+        outputs = self.render_camera(
+            state.params, self.datamanager.eval_cameras, cam_idx, chunk_size
+        )
+        gt_raw = jnp.asarray(batch["image"])
+        pred = jnp.asarray(outputs["rgb"])
+        if gt_raw.shape[-1] == 4:
+            # blend GT alpha over the model's background color; last_sample /
+            # random degrade to black (reference renderers.py:148-173)
+            from nerfstudio_tpu.model_components.renderers import blend_background
+
+            bg = getattr(self.model_eval.config, "background_color", "black")
+            if bg in ("last_sample", "random"):
+                bg = "black"
+            gt = blend_background(gt_raw, background_color=bg)
+        else:
+            gt = gt_raw
+        metrics = {
+            "psnr": float(psnr(pred, gt)),
+            "ssim": float(ssim(pred, gt)),
+            "lpips": float(lpips(pred, gt)),
+        }
+        images = {"img": np.concatenate([np.asarray(gt), np.asarray(pred)], axis=1)}
+        images.update({k: v for k, v in outputs.items() if k not in ("rgb",)})
+        return metrics, images
+
+    def get_average_eval_image_metrics(
+        self, state: TrainState, chunk_size: int = 4096
+    ) -> Dict[str, float]:
+        """(reference base_pipeline.py:419-452)"""
+        import time
+
+        all_metrics = []
+        n = len(self.datamanager.eval_dataset)
+        for i in range(n):
+            t0 = time.perf_counter()
+            m, _ = self.get_eval_image_metrics_and_images(state, i, chunk_size)
+            dt = time.perf_counter() - t0
+            h = int(np.asarray(self.datamanager.eval_cameras.height).reshape(-1)[i])
+            w = int(np.asarray(self.datamanager.eval_cameras.width).reshape(-1)[i])
+            m["num_rays_per_sec"] = h * w / dt
+            m["fps"] = 1.0 / dt
+            all_metrics.append(m)
+        keys = all_metrics[0].keys()
+        out = {}
+        for k in keys:
+            vals = np.array([m[k] for m in all_metrics])
+            out[k] = float(vals.mean())
+            out[f"{k}_std"] = float(vals.std())
+        return out

@@ -1,0 +1,80 @@
+"""Assemble a MethodConfig into a runnable Trainer (the reference's
+``TrainerConfig.setup()`` + ``Pipeline.__init__`` wiring,
+reference engine/trainer.py:149-231 + pipelines/base_pipeline.py:242-300)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from nerfstudio_tpu.configs.method_configs import MethodConfig
+from nerfstudio_tpu.data.datamanagers import DeviceCacheDataManager, FullImageDatamanager
+from nerfstudio_tpu.data.datasets import InputDataset
+from nerfstudio_tpu.engine.optimizers import build_optimizers
+from nerfstudio_tpu.engine.trainer import Trainer
+from nerfstudio_tpu.parallel.mesh import make_mesh
+from nerfstudio_tpu.pipelines.base_pipeline import TrainState, VanillaPipeline
+
+
+def _eval_split_for(parser) -> str:
+    name = type(parser).__name__.lower()
+    return "val" if "blender" in name else "val"
+
+
+def build_datasets(config: MethodConfig):
+    if config.data is not None:
+        config.dataparser.data = Path(config.data)
+    parser = config.dataparser.setup()
+    train_out = parser.get_dataparser_outputs("train")
+    try:
+        eval_out = parser.get_dataparser_outputs(_eval_split_for(parser))
+    except FileNotFoundError:
+        eval_out = train_out
+    return InputDataset(train_out), InputDataset(eval_out), train_out
+
+
+def build_pipeline(
+    config: MethodConfig, use_mesh: bool = True
+) -> Tuple[VanillaPipeline, TrainState, MethodConfig]:
+    train_ds, eval_ds, train_out = build_datasets(config)
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    datamanager = DeviceCacheDataManager(config.datamanager, train_ds, eval_ds)
+
+    aabb = tuple(tuple(float(v) for v in row) for row in np.asarray(train_out.scene_box.aabb))
+    ModelCls = config.model._target
+    num_train = len(train_ds)
+    model_train = ModelCls(
+        config=config.model, scene_aabb=aabb, num_train_data=num_train, train=True
+    )
+    model_eval = ModelCls(
+        config=config.model, scene_aabb=aabb, num_train_data=num_train, train=False
+    )
+
+    pipeline = VanillaPipeline(
+        datamanager, model_train, model_eval, tx=None, mesh=mesh,
+        loss_coefficients=config.model.loss_coefficients if hasattr(config.model, "loss_coefficients") else None,
+    )
+    key = jax.random.PRNGKey(config.seed)
+    params = pipeline.init_params(key)
+    pipeline.tx = build_optimizers(config.optimizers, params)
+    state = pipeline.init_state(key, params=params)
+    return pipeline, state, config
+
+
+def build_trainer(config: MethodConfig, use_mesh: bool = True) -> Trainer:
+    pipeline, state, config = build_pipeline(config, use_mesh=use_mesh)
+    ModelCls = config.model._target
+    step_kwargs_fn = (
+        (lambda step: ModelCls.step_kwargs(step, config.model))
+        if hasattr(ModelCls, "step_kwargs")
+        else (lambda step: {})
+    )
+    trainer = Trainer(config.trainer, pipeline, step_kwargs_fn=step_kwargs_fn, seed=config.seed)
+    trainer.state = state
+    trainer.pipeline.build_train_step()
+    if config.trainer.load_dir is not None:
+        trainer._load_checkpoint()
+    return trainer
