@@ -138,6 +138,75 @@ method_configs["nerfacto-huge"] = MethodConfig(
     optimizers=_nerfacto_optimizers(max_steps=100000),
 )
 
+from nerfstudio_tpu.models.instant_ngp import InstantNGPModelConfig  # noqa: E402
+
+method_configs["instant-ngp"] = MethodConfig(
+    method_name="instant-ngp",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+    dataparser=NerfstudioDataParserConfig(),
+    model=InstantNGPModelConfig(eval_num_rays_per_chunk=8192),
+    optimizers={
+        "field": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=1e-4, max_steps=30000),
+        },
+    },
+)
+
+method_configs["instant-ngp-bounded"] = MethodConfig(
+    method_name="instant-ngp-bounded",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+    dataparser=NerfstudioDataParserConfig(),
+    model=InstantNGPModelConfig(
+        eval_num_rays_per_chunk=8192,
+        grid_resolution=128,
+        disable_scene_contraction=True,
+        near_plane=0.01,
+        background_color="black",
+    ),
+    optimizers={
+        "field": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=1e-4, max_steps=30000),
+        },
+    },
+)
+
+from nerfstudio_tpu.models.splatfacto import SplatfactoModelConfig  # noqa: E402
+
+method_configs["splatfacto"] = MethodConfig(
+    method_name="splatfacto",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500, steps_per_save=2000),
+    datamanager=DataManagerConfig(),
+    dataparser=NerfstudioDataParserConfig(load_3D_points=True),
+    model=SplatfactoModelConfig(),
+    optimizers={},  # splat pipeline builds its own per-array optimizers
+)
+
+method_configs["splatfacto-big"] = MethodConfig(
+    method_name="splatfacto-big",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500, steps_per_save=2000),
+    datamanager=DataManagerConfig(),
+    dataparser=NerfstudioDataParserConfig(load_3D_points=True),
+    model=SplatfactoModelConfig(
+        cull_alpha_thresh=0.005,
+        densify_grad_thresh=0.0006,
+        max_gaussians=1000000,
+    ),
+    optimizers={},
+)
+
+method_configs["splatfacto-mcmc"] = MethodConfig(
+    method_name="splatfacto-mcmc",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500, steps_per_save=2000),
+    datamanager=DataManagerConfig(),
+    dataparser=NerfstudioDataParserConfig(load_3D_points=True),
+    model=SplatfactoModelConfig(),  # MCMC strategy selected in splat pipeline (round 2)
+    optimizers={},
+)
+
 method_configs["vanilla-nerf"] = MethodConfig(
     method_name="vanilla-nerf",
     trainer=TrainerConfig(max_num_iterations=16500, steps_per_eval_image=500),

@@ -139,6 +139,9 @@ class Trainer:
         kwargs = self.step_kwargs_fn(step)
         dm = self.pipeline.datamanager
         dm.maybe_reload(step)
+        if self.pipeline.aux_update_fn is not None:
+            self.key, aux_key = jax.random.split(self.key)
+            self.state = self.pipeline.aux_update_fn(self.state, step, aux_key)
         self.state, metrics = self.pipeline.train_step(
             self.state, dm.train_images, step_key, **kwargs
         )

@@ -1,0 +1,191 @@
+"""Tile-based 3DGS rasterizer — TPU-native replacement for
+``gsplat.rasterization`` (reference models/splatfacto.py:555-575).
+
+Static-shape pipeline (no dynamic duplication lists):
+
+  1. tile binning: each projected gaussian emits a FIXED number of
+     (tile_id, depth) keys covering its 3-sigma bbox (bboxes larger than the
+     per-gaussian tile budget are truncated — bounded-coverage tradeoff for
+     static shapes);
+  2. ONE global lexicographic ``lax.sort`` over (tile_id, depth) — the
+     scaling-friendly primitive TPUs are great at;
+  3. per-tile segments located with searchsorted; each tile blends its
+     first ``max_per_tile`` gaussians front-to-back over its 16x16 pixels,
+     mapped over tile chunks to bound VMEM/HBM;
+  4. backward = plain autodiff: sort indices are stop-gradient integers,
+     all value paths are gathers (transpose-scatter-add under AD).
+
+Returns rgb, alpha, depth images + the per-gaussian screen xy used (so the
+training step can probe dL/dmeans2d for densification stats).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE = 16
+
+
+def _tile_keys(
+    means2d: jnp.ndarray,  # (N, 2)
+    radii: jnp.ndarray,  # (N,)
+    depths: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,)
+    tiles_x: int,
+    tiles_y: int,
+    tiles_per_gauss: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Emit (N*D,) tile ids + depths + gaussian ids; invalid slots get
+    tile_id = num_tiles (sorted to the end)."""
+    n = means2d.shape[0]
+    num_tiles = tiles_x * tiles_y
+    d_side = max(int(np.sqrt(tiles_per_gauss)), 1)
+
+    x0t = jnp.floor((means2d[:, 0] - radii) / TILE).astype(jnp.int32)
+    y0t = jnp.floor((means2d[:, 1] - radii) / TILE).astype(jnp.int32)
+    x1t = jnp.floor((means2d[:, 0] + radii) / TILE).astype(jnp.int32)
+    y1t = jnp.floor((means2d[:, 1] + radii) / TILE).astype(jnp.int32)
+
+    keys = []
+    ids = []
+    deps = []
+    gid = jnp.arange(n, dtype=jnp.int32)
+    for dy in range(d_side):
+        for dx in range(d_side):
+            tx = x0t + dx
+            ty = y0t + dy
+            ok = (
+                valid
+                & (tx >= 0) & (tx < tiles_x) & (tx <= x1t)
+                & (ty >= 0) & (ty < tiles_y) & (ty <= y1t)
+            )
+            tile_id = jnp.where(ok, ty * tiles_x + tx, num_tiles)
+            keys.append(tile_id)
+            ids.append(gid)
+            deps.append(depths)
+    return (
+        jnp.concatenate(keys),
+        jnp.concatenate(deps),
+        jnp.concatenate(ids),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tiles_per_gauss", "max_per_tile", "tile_chunk"),
+)
+def rasterize(
+    means2d: jnp.ndarray,  # (N, 2)
+    conics: jnp.ndarray,  # (N, 3)
+    colors: jnp.ndarray,  # (N, 3)
+    opacities: jnp.ndarray,  # (N,) in [0, 1] (already sigmoid*compensation)
+    depths: jnp.ndarray,  # (N,)
+    radii: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,) bool
+    *,
+    width: int,
+    height: int,
+    tiles_per_gauss: int = 16,
+    max_per_tile: int = 256,
+    tile_chunk: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (rgb (H, W, 3), alpha (H, W, 1), depth (H, W, 1))."""
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
+
+    tile_ids, key_depths, gauss_ids = _tile_keys(
+        jax.lax.stop_gradient(means2d),
+        jax.lax.stop_gradient(radii),
+        jax.lax.stop_gradient(depths),
+        valid,
+        tiles_x,
+        tiles_y,
+        tiles_per_gauss,
+    )
+    tile_sorted, _, id_sorted = jax.lax.sort(
+        (tile_ids, key_depths, gauss_ids), num_keys=2
+    )
+    # per-tile segment starts / counts
+    tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tile_range, side="left")
+    counts = starts[1:] - starts[:-1]  # (num_tiles,)
+    starts = starts[:-1]
+
+    # pixel offsets within a tile
+    py, px = jnp.meshgrid(
+        jnp.arange(TILE, dtype=jnp.float32) + 0.5,
+        jnp.arange(TILE, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    pix_local = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # (256, 2)
+
+    n_chunks = (num_tiles + tile_chunk - 1) // tile_chunk
+    pad_tiles = n_chunks * tile_chunk - num_tiles
+    starts_p = jnp.pad(starts, (0, pad_tiles))
+    counts_p = jnp.pad(counts, (0, pad_tiles))
+    tile_idx_p = jnp.pad(jnp.arange(num_tiles, dtype=jnp.int32), (0, pad_tiles))
+
+    k_arange = jnp.arange(max_per_tile, dtype=jnp.int32)
+
+    def blend_chunk(args):
+        c_starts, c_counts, c_tileidx = args  # (C,)
+        # gather entries: (C, K)
+        entry = c_starts[:, None] + k_arange[None, :]
+        in_seg = k_arange[None, :] < jnp.minimum(c_counts[:, None], max_per_tile)
+        entry = jnp.clip(entry, 0, id_sorted.shape[0] - 1)
+        gids = id_sorted[entry]  # (C, K)
+
+        g_mean = means2d[gids]  # (C, K, 2)
+        g_conic = conics[gids]  # (C, K, 3)
+        g_color = colors[gids]  # (C, K, 3)
+        g_opac = opacities[gids]  # (C, K)
+        g_depth = depths[gids]  # (C, K)
+
+        ty = (c_tileidx // tiles_x).astype(jnp.float32) * TILE
+        tx = (c_tileidx % tiles_x).astype(jnp.float32) * TILE
+        pix = pix_local[None] + jnp.stack([tx, ty], axis=-1)[:, None, :]  # (C, 256, 2)
+
+        d = pix[:, :, None, :] - g_mean[:, None, :, :]  # (C, 256, K, 2)
+        a, b, c = g_conic[..., 0], g_conic[..., 1], g_conic[..., 2]
+        sigma = 0.5 * (
+            a[:, None, :] * d[..., 0] ** 2 + c[:, None, :] * d[..., 1] ** 2
+        ) + b[:, None, :] * d[..., 0] * d[..., 1]  # (C, 256, K)
+        alpha = jnp.minimum(0.999, g_opac[:, None, :] * jnp.exp(-sigma))
+        alpha = jnp.where((sigma >= 0) & in_seg[:, None, :] & (alpha > 1.0 / 255.0), alpha, 0.0)
+
+        log_t = jnp.cumsum(jnp.log1p(-alpha), axis=-1)
+        trans = jnp.exp(log_t - jnp.log1p(-alpha))  # exclusive transmittance
+        w = alpha * trans  # (C, 256, K)
+        rgb = jnp.einsum("cpk,ckj->cpj", w, g_color)  # (C, 256, 3)
+        acc = jnp.sum(w, axis=-1)  # (C, 256)
+        depth_img = jnp.sum(w * g_depth[:, None, :], axis=-1) / jnp.maximum(acc, 1e-10)
+        return rgb, acc, depth_img
+
+    rgb_c, acc_c, dep_c = jax.lax.map(
+        blend_chunk,
+        (
+            starts_p.reshape(n_chunks, tile_chunk),
+            counts_p.reshape(n_chunks, tile_chunk),
+            tile_idx_p.reshape(n_chunks, tile_chunk),
+        ),
+    )
+    rgb_t = rgb_c.reshape(n_chunks * tile_chunk, TILE, TILE, 3)[:num_tiles]
+    acc_t = acc_c.reshape(n_chunks * tile_chunk, TILE, TILE)[:num_tiles]
+    dep_t = dep_c.reshape(n_chunks * tile_chunk, TILE, TILE)[:num_tiles]
+
+    def tiles_to_image(t):
+        extra = t.shape[3:]
+        img = t.reshape((tiles_y, tiles_x, TILE, TILE) + extra)
+        img = jnp.moveaxis(img, 2, 1)  # (ty, TILE, tx, TILE, ...)
+        return img.reshape((tiles_y * TILE, tiles_x * TILE) + extra)[:height, :width]
+
+    rgb = tiles_to_image(rgb_t)
+    alpha = tiles_to_image(acc_t)[..., None]
+    depth = tiles_to_image(dep_t)[..., None]
+    return rgb, alpha, depth

@@ -3,21 +3,20 @@
 Replaces tiny-cuda-nn's HashGrid (reference field_components/encodings.py:
 307-463 torch fallback; tcnn config :362-380). Two implementations:
 
-  * ``hash_encode`` — pure-XLA: one fused gather across all levels (table is
-    flattened to (L*T, F) so a single ``take`` covers every level/corner),
-    trilinear weights as FMAs. XLA fuses the interpolation with downstream
-    matmuls; grads scatter-add into the table via the transpose of gather.
+  * ``hash_encode`` — pure-XLA, TPU-layout-aware: the level and corner loops
+    are statically unrolled so every large intermediate is a flat ``(N,)``
+    vector (f32 tiles are (8,128) — ANY big tensor with a tiny trailing dim
+    pads catastrophically, e.g. (N,L,8,3) int32 corners pad 16-64x and OOM'd
+    a 16G chip at N=1M). The table is stored feature-major ``(F, L*T)`` so
+    each gather is a flat vector gather.
   * a Pallas fused hash-encode+MLP kernel lives in ``ops/fused_hash_mlp.py``
     (the tcnn ``NetworkWithInputEncoding`` equivalent).
 
 Hash function: XOR of coordinate-wise products with primes
 (1, 2654435761, 805459861) — the Instant-NGP spatial hash (paper eq. 4;
-reference encodings.py:398-415 uses the same primes).
-
-Coarse levels whose dense grid fits in the table are indexed *densely*
-(collision-free), matching tcnn behaviour; the dense/hashed choice is static
-per level so XLA compiles a single gather either way.
-"""
+reference encodings.py:398-415 uses the same primes). Coarse levels whose
+dense grid fits in the table are indexed densely (collision-free), matching
+tcnn behaviour; dense-vs-hashed is static per level."""
 
 from __future__ import annotations
 
@@ -57,62 +56,52 @@ def hash_encode(
     """
     features_per_level = table.shape[-1]
     batch_shape = positions.shape[:-1]
-    x = positions.reshape(-1, 3)  # (N, 3)
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    pos = positions.reshape(n, 3)
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]  # flat (N,) vectors
 
-    resolutions = compute_level_resolutions(num_levels, min_res, max_res)  # (L,)
-    scales = jnp.asarray(resolutions, dtype=jnp.float32)  # (L,)
+    resolutions = compute_level_resolutions(num_levels, min_res, max_res)
+    # feature-major flat table: (F, L*T) — vector gathers, no trailing-dim pad
+    table_t = table.T.reshape(features_per_level, num_levels * hash_table_size)
 
-    # (N, L, 3) scaled coordinates
-    scaled = x[:, None, :] * scales[None, :, None]
-    scaled_f = jnp.floor(scaled)
-    offset = scaled - scaled_f  # (N, L, 3) in [0,1)
-    base = scaled_f.astype(jnp.int32)
+    out_channels = []
+    for level in range(num_levels):
+        res = float(resolutions[level])
+        res_i = int(resolutions[level])
+        dense = (res_i + 1) ** 3 <= hash_table_size
+        level_offset = level * hash_table_size
 
-    # 8 corner offsets (8, 3)
-    corners = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=jnp.int32
-    )
-    coords = base[:, :, None, :] + corners[None, None, :, :]  # (N, L, 8, 3)
+        sx, sy, sz = x * res, y * res, z * res
+        fx, fy, fz = jnp.floor(sx), jnp.floor(sy), jnp.floor(sz)
+        ox, oy, oz = sx - fx, sy - fy, sz - fz
+        ix0, iy0, iz0 = fx.astype(jnp.int32), fy.astype(jnp.int32), fz.astype(jnp.int32)
 
-    # Hashed index per level; dense index where the level grid fits the table.
-    # uint32 wrap-around multiply + XOR (Instant-NGP spatial hash).
-    cu = coords.astype(jnp.uint32)
-    hashed = (
-        (cu[..., 0] * jnp.uint32(_PRIMES[0]))
-        ^ (cu[..., 1] * jnp.uint32(_PRIMES[1]))
-        ^ (cu[..., 2] * jnp.uint32(_PRIMES[2]))
-    ) % jnp.uint32(hash_table_size)
-    hashed = hashed.astype(jnp.int32)
+        acc = [jnp.zeros((n,), dtype=jnp.float32) for _ in range(features_per_level)]
+        for corner in range(8):
+            dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+            cx, cy, cz = ix0 + dx, iy0 + dy, iz0 + dz
+            if dense:
+                side = res_i + 1
+                cxc = jnp.clip(cx, 0, side - 1)
+                cyc = jnp.clip(cy, 0, side - 1)
+                czc = jnp.clip(cz, 0, side - 1)
+                idx = (cxc * side + cyc) * side + czc
+            else:
+                cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+                cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+                cu_z = cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+                idx = ((cu_x ^ cu_y ^ cu_z) % jnp.uint32(hash_table_size)).astype(jnp.int32)
+            idx = idx + level_offset
+            w = (
+                (ox if dx else 1.0 - ox)
+                * (oy if dy else 1.0 - oy)
+                * (oz if dz else 1.0 - oz)
+            )
+            for f in range(features_per_level):
+                acc[f] = acc[f] + w * jnp.take(table_t[f], idx, axis=0)
+        out_channels.extend(acc)
 
-    dense_mask = np.asarray((resolutions + 1) ** 3 <= hash_table_size)  # (L,) static
-    if dense_mask.any():
-        res1 = scales.astype(jnp.int32) + 1  # dense grid side per level
-        cc = jnp.clip(coords, 0, res1[None, :, None, None] - 1)
-        dense_idx = (cc[..., 0] * res1[None, :, None] + cc[..., 1]) * res1[
-            None, :, None
-        ] + cc[..., 2]
-        use_dense = jnp.asarray(dense_mask)[None, :, None]
-        idx = jnp.where(use_dense, dense_idx % hash_table_size, hashed)
-    else:
-        idx = hashed
-
-    # flatten level offset into one big gather
-    level_offsets = (jnp.arange(num_levels, dtype=jnp.int32) * hash_table_size)[None, :, None]
-    flat_idx = idx + level_offsets  # (N, L, 8)
-    feats = jnp.take(table, flat_idx.reshape(-1), axis=0).reshape(
-        -1, num_levels, 8, features_per_level
-    )  # (N, L, 8, F)
-
-    # trilinear weights — corner order matches `corners` above
-    ox, oy, oz = offset[..., 0:1], offset[..., 1:2], offset[..., 2:3]  # (N, L, 1)
-    wx = jnp.concatenate([1 - ox, ox], axis=-1)  # (N, L, 2)
-    wy = jnp.concatenate([1 - oy, oy], axis=-1)
-    wz = jnp.concatenate([1 - oz, oz], axis=-1)
-    w = (
-        wx[:, :, :, None, None] * wy[:, :, None, :, None] * wz[:, :, None, None, :]
-    ).reshape(-1, num_levels, 8, 1)  # (N, L, 8, 1)
-
-    out = jnp.sum(feats * w, axis=2)  # (N, L, F)
+    out = jnp.stack(out_channels, axis=-1)  # (N, L*F)
     return out.reshape(batch_shape + (num_levels * features_per_level,))
 
 

@@ -1,0 +1,118 @@
+"""Occupancy grid — TPU-native replacement for nerfacc.OccGridEstimator
+(reference: nerfstudio/model_components/ray_samplers.py:385-519 VolumetricSampler
++ models/instant_ngp.py:120-164 update callbacks).
+
+nerfacc marches rays through a binary grid on CUDA and emits *packed jagged*
+samples — impossible (and unnecessary) on TPU. The TPU design:
+
+  1. The grid is a dense ``(res^3,)`` float EMA of densities + a binary
+     threshold mask, updated every N steps by evaluating the field at
+     jittered cell centers — pure XLA scatter-free update (the grid IS the
+     evaluation result).
+  2. Marching = occupancy-driven importance sampling: probe M coarse uniform
+     bins per ray against the binary grid (a cheap gather, no field eval),
+     then inverse-CDF sample the per-ray static budget of S samples
+     proportionally to occupied-bin length. Static shapes, total field evals
+     = S per ray — the same compute-skipping effect as nerfacc's packed
+     marching, expressed as a gather + PDF transform that XLA fuses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from nerfstudio_tpu.core.rays import RayBundle, RaySamples
+from nerfstudio_tpu.model_components.ray_samplers import PDFSampler, UniformSampler
+
+
+@flax.struct.dataclass
+class OccupancyGridState:
+    """Functional grid state (lives in TrainState.aux)."""
+
+    densities: jnp.ndarray  # (res^3,) EMA of density * step_size
+    binary: jnp.ndarray  # (res^3,) bool
+    aabb: jnp.ndarray  # (2, 3)
+    resolution: int = flax.struct.field(pytree_node=False, default=128)
+
+
+def init_occupancy_grid(aabb, resolution: int = 128) -> OccupancyGridState:
+    n = resolution**3
+    return OccupancyGridState(
+        densities=jnp.zeros((n,), jnp.float32),
+        binary=jnp.ones((n,), bool),  # start fully occupied (explore)
+        aabb=jnp.asarray(aabb, jnp.float32),
+        resolution=resolution,
+    )
+
+
+def _cell_indices(positions: jnp.ndarray, aabb: jnp.ndarray, res: int) -> jnp.ndarray:
+    """World positions -> flat cell index; out-of-aabb clamps to border."""
+    unit = (positions - aabb[0]) / (aabb[1] - aabb[0])
+    ijk = jnp.clip((unit * res).astype(jnp.int32), 0, res - 1)
+    return (ijk[..., 0] * res + ijk[..., 1]) * res + ijk[..., 2]
+
+
+def update_occupancy_grid(
+    grid: OccupancyGridState,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    key: jax.Array,
+    occ_thre: float = 0.01,
+    ema_decay: float = 0.95,
+    warmup: bool = False,
+) -> OccupancyGridState:
+    """EMA-update all cells with densities at jittered cell centers
+    (nerfacc ``update_every_n_steps`` semantics: occs = max(occs*decay, new);
+    binary = occs > min(mean(occs), occ_thre))."""
+    res = grid.resolution
+    n = res**3
+    idx = jnp.arange(n, dtype=jnp.int32)
+    k = idx // (res * res)
+    j = (idx // res) % res
+    i = idx % res
+    ijk = jnp.stack([k, j, i], axis=-1).astype(jnp.float32)  # matches _cell_indices order
+    jitter = jax.random.uniform(key, (n, 3))
+    unit = (ijk + jitter) / res
+    positions = grid.aabb[0] + unit * (grid.aabb[1] - grid.aabb[0])
+    new_d = density_fn(positions)[..., 0]
+    densities = jnp.maximum(grid.densities * ema_decay, new_d)
+    thresh = jnp.minimum(jnp.mean(densities), occ_thre)
+    binary = densities > thresh
+    if warmup:
+        binary = jnp.ones_like(binary)
+    return grid.replace(densities=densities, binary=binary)
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyGridSampler:
+    """Occupancy-driven importance sampler (the VolumetricSampler analog)."""
+
+    num_coarse_probes: int = 128
+    num_samples: int = 48
+    empty_weight: float = 1e-3  # residual mass for unoccupied bins
+
+    def __call__(
+        self,
+        ray_bundle: RayBundle,
+        grid: OccupancyGridState,
+        key: Optional[jax.Array] = None,
+    ) -> RaySamples:
+        k1 = k2 = None
+        if key is not None:
+            k1, k2 = jax.random.split(key)
+        coarse = UniformSampler(self.num_coarse_probes, train_stratified=False)(ray_bundle)
+        probe_pos = coarse.frustums.get_positions()  # (R, M, 3)
+        cells = _cell_indices(probe_pos, grid.aabb, grid.resolution)
+        occ = grid.binary[cells]  # (R, M) bool gather — no field eval
+        inside = jnp.all(
+            (probe_pos > grid.aabb[0]) & (probe_pos < grid.aabb[1]), axis=-1
+        )
+        w = jnp.where(occ & inside, 1.0, self.empty_weight)[..., None]
+        pdf = PDFSampler(
+            num_samples=self.num_samples, histogram_padding=0.0, single_jitter=True
+        )
+        return pdf(ray_bundle, coarse, w, key=k2)

@@ -37,6 +37,9 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray  # int32 scalar
+    # model-family auxiliary state (e.g. instant-ngp occupancy grid) — the
+    # functional replacement for the reference's mutable callback state
+    aux: Any = None
 
 
 class VanillaPipeline:
@@ -59,6 +62,10 @@ class VanillaPipeline:
         self.loss_coefficients = loss_coefficients or {}
         self._train_step = None
         self._eval_chunk = None
+        # optional host-side hook: (state, step, key) -> state, run by the
+        # trainer BEFORE each train step (occupancy updates, grid upsampling)
+        self.aux_update_fn = None
+        self.init_aux = None
 
     # ------------------------------------------------------------------
     def init_params(self, key: jax.Array, example_rays=None):
@@ -74,7 +81,10 @@ class VanillaPipeline:
             params = self.init_params(key, example_rays)
         assert self.tx is not None, "set pipeline.tx before init_state"
         opt_state = self.tx.init(params)
-        return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        aux = self.init_aux() if self.init_aux is not None else None
+        return TrainState(
+            params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), aux=aux
+        )
 
     def get_param_groups(self, state: TrainState) -> Dict[str, int]:
         top = state.params["params"]
@@ -118,6 +128,7 @@ class VanillaPipeline:
                     anneal=anneal,
                     update_proposals=update_proposals,
                     cosine_anneal=cosine_anneal,
+                    model_aux=state.aux,
                 )
                 metrics = model.get_metrics_dict(outputs, batch, params)
                 loss_dict = model.get_loss_dict(
@@ -131,7 +142,8 @@ class VanillaPipeline:
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
-                params=new_params, opt_state=new_opt_state, step=state.step + 1
+                params=new_params, opt_state=new_opt_state, step=state.step + 1,
+                aux=state.aux,
             )
             out_metrics = {"loss": loss, **loss_dict, **metrics}
             return new_state, out_metrics
@@ -149,19 +161,20 @@ class VanillaPipeline:
         model = self.model_eval
 
         @jax.jit
-        def eval_chunk(params, ray_bundle):
-            return model.apply(params, ray_bundle, key=None)
+        def eval_chunk(params, ray_bundle, aux=None):
+            out = model.apply(params, ray_bundle, key=None, model_aux=aux)
+            return {k: v for k, v in out.items() if isinstance(v, jnp.ndarray)}
 
         self._eval_chunk = eval_chunk
         return eval_chunk
 
     def render_camera(
-        self, params, cameras: Cameras, camera_idx: int, chunk_size: int = 4096
+        self, params, cameras: Cameras, camera_idx: int, chunk_size: int = 4096, aux=None
     ) -> Dict[str, np.ndarray]:
         if self._eval_chunk is None:
             self.build_eval_chunk()
         return render_camera(
-            lambda rb: self._eval_chunk(params, rb), cameras, camera_idx, chunk_size
+            lambda rb: self._eval_chunk(params, rb, aux), cameras, camera_idx, chunk_size
         )
 
     def get_eval_image_metrics_and_images(
@@ -170,7 +183,8 @@ class VanillaPipeline:
         """(reference base_pipeline.py:328-380)"""
         cam_idx, batch = self.datamanager.eval_image(camera_idx)
         outputs = self.render_camera(
-            state.params, self.datamanager.eval_cameras, cam_idx, chunk_size
+            state.params, self.datamanager.eval_cameras, cam_idx, chunk_size,
+            aux=state.aux,
         )
         gt_raw = jnp.asarray(batch["image"])
         pred = jnp.asarray(outputs["rgb"])

@@ -57,6 +57,10 @@ def build_pipeline(
         datamanager, model_train, model_eval, tx=None, mesh=mesh,
         loss_coefficients=config.model.loss_coefficients if hasattr(config.model, "loss_coefficients") else None,
     )
+    if hasattr(ModelCls, "init_aux"):
+        pipeline.init_aux = lambda: ModelCls.init_aux(config.model)
+    if hasattr(ModelCls, "make_aux_update_fn"):
+        pipeline.aux_update_fn = ModelCls.make_aux_update_fn(model_train, config.model)
     key = jax.random.PRNGKey(config.seed)
     params = pipeline.init_params(key)
     pipeline.tx = build_optimizers(config.optimizers, params)

@@ -1,0 +1,281 @@
+"""Splatfacto pipeline: full-image train step + refine loop (reference:
+splatfacto's use of FullImageDatamanager + gsplat strategies,
+nerfstudio/models/splatfacto.py:365-409, 485-575).
+
+The train step is ONE jitted program per (H, W, sh_degree) bucket: render ->
+L1+SSIM -> backward -> adam update, plus the dL/dmeans2d probe gradient that
+feeds densification stats into aux. The refine step is a second jitted
+program mutating the padded gaussian arrays + optimizer moments."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfstudio_tpu.data.datamanagers import FullImageDatamanager
+from nerfstudio_tpu.models.splatfacto import SplatAux, SplatfactoModel, SplatfactoModelConfig
+from nerfstudio_tpu.utils.metrics import lpips, psnr, ssim
+
+
+@flax.struct.dataclass
+class SplatTrainState:
+    params: Dict[str, jnp.ndarray]
+    opt_state: Any
+    aux: SplatAux
+    step: jnp.ndarray
+
+
+def build_splat_optimizers(config: SplatfactoModelConfig, max_steps: int = 30000):
+    """Per-array LRs (reference configs/method_configs.py splatfacto entry)."""
+    means_sched = optax.exponential_decay(
+        1.6e-4, transition_steps=max_steps, decay_rate=1.6e-6 / 1.6e-4
+    )
+    txs = {
+        "means": optax.adam(means_sched, eps=1e-15),
+        "features_dc": optax.adam(0.0025, eps=1e-15),
+        "features_rest": optax.adam(0.0025 / 20, eps=1e-15),
+        "opacities": optax.adam(0.05, eps=1e-15),
+        "scales": optax.adam(0.005, eps=1e-15),
+        "quats": optax.adam(0.001, eps=1e-15),
+    }
+    return optax.multi_transform(txs, {k: k for k in txs})
+
+
+class SplatPipeline:
+    def __init__(
+        self,
+        datamanager: FullImageDatamanager,
+        model: SplatfactoModel,
+        max_steps: int = 30000,
+    ):
+        self.datamanager = datamanager
+        self.model = model
+        self.tx = build_splat_optimizers(model.config, max_steps)
+        self._train_step = None
+        self._refine = None
+
+    def init_state(self, seed_points=None, scene_scale: float = 1.0, seed: int = 42) -> SplatTrainState:
+        params, aux = __import__(
+            "nerfstudio_tpu.models.splatfacto", fromlist=["init_gaussian_params"]
+        ).init_gaussian_params(self.model.config, seed_points, scene_scale, seed)
+        opt_state = self.tx.init(params)
+        return SplatTrainState(
+            params=params, opt_state=opt_state, aux=aux, step=jnp.zeros((), jnp.int32)
+        )
+
+    # ------------------------------------------------------------------
+    def build_train_step(self):
+        model = self.model
+        tx = self.tx
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), static_argnames=("width", "height", "sh_degree")
+        )
+        def train_step(
+            state: SplatTrainState,
+            c2w: jnp.ndarray,
+            K: jnp.ndarray,  # (4,) fx fy cx cy
+            gt_image: jnp.ndarray,
+            key: jax.Array,
+            width: int,
+            height: int,
+            sh_degree: int,
+        ):
+            k_bg, _ = jax.random.split(key)
+            n_cap = model.config.max_gaussians
+            probe = jnp.zeros((n_cap, 2))
+
+            def loss_fn(params, probe):
+                outputs = model.render(
+                    params, state.aux.alive, c2w,
+                    (K[0], K[1], K[2], K[3]), width, height,
+                    sh_degree_active=sh_degree, key=k_bg, means2d_probe=probe,
+                )
+                loss, loss_dict = model.get_loss(outputs, gt_image, params, state.aux.alive)
+                return loss, (outputs, loss_dict)
+
+            (loss, (outputs, loss_dict)), (grads, probe_grad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, probe)
+
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            # densification stats (gsplat DefaultStrategy 'info' analog):
+            # screen-gradient norm scaled to pixel units (reference absgrad)
+            g_norm = jnp.linalg.norm(probe_grad, axis=-1) * 0.5 * max(width, height)
+            visible = outputs["visible"]
+            aux = state.aux
+            new_aux = SplatAux(
+                alive=aux.alive,
+                grad_accum=aux.grad_accum + jnp.where(visible, g_norm, 0.0),
+                grad_count=aux.grad_count + visible.astype(jnp.float32),
+                max_radii=jnp.maximum(aux.max_radii, outputs["radii"]),
+            )
+            new_state = SplatTrainState(
+                params=new_params, opt_state=new_opt_state, aux=new_aux, step=state.step + 1
+            )
+            metrics = {
+                "loss": loss,
+                "l1": loss_dict["l1"],
+                "ssim_loss": loss_dict["ssim_loss"],
+                "psnr": psnr(outputs["rgb"], loss_dict["gt"]),
+                "num_alive": jnp.sum(aux.alive),
+            }
+            return new_state, metrics
+
+        self._train_step = train_step
+        return train_step
+
+    def build_refine(self):
+        model = self.model
+
+        @functools.partial(
+            jax.jit, static_argnames=("do_split", "do_cull_scale", "reset_alpha")
+        )
+        def refine(state: SplatTrainState, key, do_split, do_cull_scale, reset_alpha):
+            params, opt_state, aux = model.refine(
+                state.params, state.opt_state, state.aux, key,
+                do_split=do_split, do_cull_scale=do_cull_scale, reset_alpha=reset_alpha,
+            )
+            return SplatTrainState(
+                params=params, opt_state=opt_state, aux=aux, step=state.step
+            )
+
+        self._refine = refine
+        return refine
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        state: SplatTrainState,
+        num_iterations: int,
+        key: jax.Array,
+        log_every: int = 50,
+        writer=None,
+    ) -> SplatTrainState:
+        cfg = self.model.config
+        if self._train_step is None:
+            self.build_train_step()
+        if self._refine is None:
+            self.build_refine()
+        dm = self.datamanager
+        cams = dm.train_cameras
+
+        for step in range(int(state.step), num_iterations):
+            cam_idx, image = dm.next_train(step)
+            d = self.model.downscale_at(step)
+            c2w = cams.camera_to_worlds[cam_idx]
+            fx = cams.fx[cam_idx, 0] / d
+            fy = cams.fy[cam_idx, 0] / d
+            cx = cams.cx[cam_idx, 0] / d
+            cy = cams.cy[cam_idx, 0] / d
+            h = int(np.asarray(cams.height[cam_idx, 0])) // d
+            w = int(np.asarray(cams.width[cam_idx, 0])) // d
+            if d > 1:
+                image = jax.image.resize(image, (h, w, image.shape[-1]), "linear")
+            key, k = jax.random.split(key)
+            state, metrics = self._train_step(
+                state, c2w, jnp.stack([fx, fy, cx, cy]), image, k,
+                width=w, height=h, sh_degree=self.model.sh_degree_at(step),
+            )
+            if writer is not None and step % log_every == 0:
+                writer.put_dict("train", {k2: float(v) for k2, v in metrics.items()}, step)
+
+            if (
+                step > cfg.warmup_length
+                and step % cfg.refine_every == 0
+            ):
+                key, k = jax.random.split(key)
+                reset_period = cfg.reset_alpha_every * cfg.refine_every
+                do_reset = (step % reset_period) == 0 and step < cfg.stop_split_at
+                state = self._refine(
+                    state, k,
+                    do_split=step < cfg.stop_split_at,
+                    do_cull_scale=step > reset_period,
+                    reset_alpha=do_reset,
+                )
+        return state
+
+    # ------------------------------------------------------------------
+    def render_eval_image(self, state: SplatTrainState, camera_idx: int):
+        cams = self.datamanager.eval_cameras
+        c2w = cams.camera_to_worlds[camera_idx]
+        fx = float(cams.fx[camera_idx, 0])
+        fy = float(cams.fy[camera_idx, 0])
+        cx = float(cams.cx[camera_idx, 0])
+        cy = float(cams.cy[camera_idx, 0])
+        h = int(np.asarray(cams.height[camera_idx, 0]))
+        w = int(np.asarray(cams.width[camera_idx, 0]))
+        out = self.model.render(
+            state.params, state.aux.alive, c2w, (fx, fy, cx, cy), w, h,
+            sh_degree_active=self.model.config.sh_degree,
+            background=jnp.zeros(3) if self.model.config.background_color == "random" else None,
+        )
+        return out
+
+    def get_eval_image_metrics(self, state: SplatTrainState, camera_idx: int):
+        out = self.render_eval_image(state, camera_idx)
+        gt = jnp.asarray(self.datamanager.eval_dataset.get_image_float32(camera_idx))
+        if gt.shape[-1] == 4:
+            gt = gt[..., :3] * gt[..., 3:] + out["background"] * (1 - gt[..., 3:])
+        pred = out["rgb"]
+        return {
+            "psnr": float(psnr(pred, gt)),
+            "ssim": float(ssim(pred, gt)),
+            "lpips": float(lpips(pred, gt)),
+        }, out
+
+
+def build_splat_pipeline(config) -> Tuple["SplatPipeline", SplatTrainState]:
+    """Assemble a splatfacto MethodConfig into (pipeline, state)."""
+    from nerfstudio_tpu.pipelines.factory import build_datasets
+
+    train_ds, eval_ds, train_out = build_datasets(config)
+    dm = FullImageDatamanager(config.datamanager, train_ds, eval_ds)
+    scene_scale = float(np.asarray(train_out.scene_box.aabb).max())
+    model = SplatfactoModel(config.model, scene_scale=scene_scale)
+    pipeline = SplatPipeline(dm, model, max_steps=config.trainer.max_num_iterations)
+    seed_pts = None
+    md = train_out.metadata
+    if md.get("points3D_xyz") is not None:
+        seed_pts = (np.asarray(md["points3D_xyz"]), 
+                    np.asarray(md["points3D_rgb"]) if md.get("points3D_rgb") is not None else None)
+    state = pipeline.init_state(seed_points=seed_pts, scene_scale=scene_scale, seed=config.seed)
+    return pipeline, state
+
+
+def train_splat(config) -> None:
+    """Full splatfacto training run (the CLI path for splatfacto methods)."""
+    from nerfstudio_tpu.utils.writer import EventWriter
+
+    pipeline, state = build_splat_pipeline(config)
+    base = config.trainer.get_base_dir()
+    writer = EventWriter(base, vis=config.trainer.vis)
+    key = jax.random.PRNGKey(config.seed)
+    state = pipeline.train(
+        state, config.trainer.max_num_iterations, key, writer=writer
+    )
+    # final checkpoint via orbax
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = config.trainer.get_checkpoint_dir(base)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    mgr = ocp.CheckpointManager(ckpt_dir.absolute())
+    mgr.save(
+        int(state.step),
+        args=ocp.args.StandardSave(
+            {"params": state.params, "aux_alive": state.aux.alive, "step": state.step}
+        ),
+    )
+    mgr.wait_until_finished()
+    metrics, _ = pipeline.get_eval_image_metrics(state, 0)
+    print("eval:", metrics)
+    print(f"training finished; checkpoints in {ckpt_dir}")

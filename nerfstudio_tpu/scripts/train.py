@@ -41,6 +41,19 @@ def main(argv=None) -> None:
             Path(config.data).name if config.data is not None else "unnamed"
         )
 
+    from nerfstudio_tpu.models.splatfacto import SplatfactoModelConfig
+
+    if isinstance(config.model, SplatfactoModelConfig):
+        from nerfstudio_tpu.pipelines.splat_pipeline import train_splat
+
+        base = config.trainer.get_base_dir()
+        config.trainer.timestamp = base.name  # freeze timestamp
+        base.mkdir(parents=True, exist_ok=True)
+        save_config(config, base)
+        print(f"config saved to {base / 'config.yml'}")
+        train_splat(config)
+        return
+
     from nerfstudio_tpu.pipelines.factory import build_trainer
 
     trainer = build_trainer(config)

@@ -14,7 +14,9 @@ from fixtures import make_blender_fixture  # noqa: E402
 from nerfstudio_tpu.configs.method_configs import get_method, method_configs
 from nerfstudio_tpu.pipelines.factory import build_pipeline, build_trainer
 
-BLACKLIST = []  # methods that can't smoke-train yet
+# splatfacto methods use the dedicated SplatPipeline (tested in
+# test_splatfacto.py + test_splat_smoke below)
+BLACKLIST = ["splatfacto", "splatfacto-big", "splatfacto-mcmc"]
 
 
 def _shrink(config):
@@ -86,3 +88,31 @@ def test_eval_render(blender_dir, tmp_path):
     metrics, images = pipeline.get_eval_image_metrics_and_images(state, 0, chunk_size=64)
     assert "psnr" in metrics and np.isfinite(metrics["psnr"])
     assert images["img"].shape == (16, 32, 3)  # gt|pred side by side
+
+
+def test_splat_smoke(blender_dir, tmp_path):
+    """Two splatfacto steps + one refine through the splat pipeline."""
+    import jax.numpy as jnp
+
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+    from nerfstudio_tpu.pipelines.splat_pipeline import build_splat_pipeline
+
+    config = get_method("splatfacto")
+    config.dataparser = BlenderDataParserConfig(data=blender_dir)
+    m = config.model
+    m.max_gaussians = 128
+    m.num_random = 32
+    m.random_init = True
+    m.random_scale = 2.0
+    m.warmup_length = 0
+    m.refine_every = 2
+    m.max_refine_new = 16
+    m.num_downscales = 0
+    m.tile_chunk = 1
+    m.max_per_tile = 32
+    pipeline, state = build_splat_pipeline(config)
+    key = jax.random.PRNGKey(0)
+    state = pipeline.train(state, 3, key)
+    assert int(state.step) == 3
+    assert bool(jnp.isfinite(state.params["means"]).all())
