@@ -19,6 +19,7 @@ from nerfstudio_tpu.engine.optimizers import AdamOptimizerConfig, RAdamOptimizer
 from nerfstudio_tpu.engine.schedulers import (
     CosineDecaySchedulerConfig,
     ExponentialDecaySchedulerConfig,
+    MultiStepSchedulerConfig,
 )
 from nerfstudio_tpu.engine.trainer import TrainerConfig
 from nerfstudio_tpu.models.base_model import ModelConfig
@@ -221,6 +222,101 @@ method_configs["vanilla-nerf"] = MethodConfig(
         "temporal_distortion": {
             "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-8),
             "scheduler": None,
+        },
+    },
+)
+
+
+from nerfstudio_tpu.models.depth_nerfacto import DepthNerfactoModelConfig  # noqa: E402
+from nerfstudio_tpu.models.mipnerf import MipNerfModelConfig  # noqa: E402
+from nerfstudio_tpu.models.neus import NeuSFactoModelConfig, NeuSModelConfig  # noqa: E402
+from nerfstudio_tpu.models.tensorf import TensoRFModelConfig  # noqa: E402
+
+method_configs["depth-nerfacto"] = MethodConfig(
+    method_name="depth-nerfacto",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+    dataparser=NerfstudioDataParserConfig(),
+    model=DepthNerfactoModelConfig(eval_num_rays_per_chunk=1 << 15),
+    optimizers=_nerfacto_optimizers(),
+)
+
+method_configs["mipnerf"] = MethodConfig(
+    method_name="mipnerf",
+    trainer=TrainerConfig(max_num_iterations=1000000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
+    dataparser=BlenderDataParserConfig(),
+    model=MipNerfModelConfig(
+        num_coarse_samples=128, num_importance_samples=128, eval_num_rays_per_chunk=8192
+    ),
+    optimizers={
+        "field": {
+            "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-8),
+            "scheduler": None,
+        },
+    },
+)
+
+method_configs["dnerf"] = MethodConfig(
+    method_name="dnerf",
+    trainer=TrainerConfig(max_num_iterations=16500, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
+    dataparser=BlenderDataParserConfig(),
+    model=VanillaModelConfig(enable_temporal_distortion=True),
+    optimizers={
+        "field": {
+            "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-8),
+            "scheduler": None,
+        },
+        "temporal_distortion": {
+            "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-8),
+            "scheduler": None,
+        },
+    },
+)
+
+method_configs["tensorf"] = MethodConfig(
+    method_name="tensorf",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+    dataparser=BlenderDataParserConfig(),
+    model=TensoRFModelConfig(),
+    optimizers={
+        "field": {
+            "optimizer": AdamOptimizerConfig(lr=0.001),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=0.0001, max_steps=30000),
+        },
+    },
+)
+
+method_configs["neus"] = MethodConfig(
+    method_name="neus",
+    trainer=TrainerConfig(max_num_iterations=100000, steps_per_eval_image=2500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
+    dataparser=NerfstudioDataParserConfig(),
+    model=NeuSModelConfig(eval_num_rays_per_chunk=1024),
+    optimizers={
+        "field": {
+            "optimizer": AdamOptimizerConfig(lr=5e-4),
+            "scheduler": CosineDecaySchedulerConfig(warm_up_end=5000, max_steps=300000),
+        },
+    },
+)
+
+method_configs["neus-facto"] = MethodConfig(
+    method_name="neus-facto",
+    trainer=TrainerConfig(max_num_iterations=20000, steps_per_eval_image=2500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=2048),
+    dataparser=NerfstudioDataParserConfig(),
+    model=NeuSFactoModelConfig(eval_num_rays_per_chunk=2048),
+    optimizers={
+        "field": {
+            "optimizer": AdamOptimizerConfig(lr=5e-4, eps=1e-15),
+            "scheduler": CosineDecaySchedulerConfig(warm_up_end=500, max_steps=20000),
+        },
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": MultiStepSchedulerConfig(max_steps=20000),
         },
     },
 )

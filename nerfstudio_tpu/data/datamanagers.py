@@ -88,6 +88,14 @@ class DeviceCacheDataManager:
         if self._masks_host is not None:
             self.valid_indices = jnp.asarray(build_valid_indices(self._masks_host))
 
+        # optional per-pixel depth supervision stack (depth-nerfacto)
+        self.train_depths = None
+        if getattr(train_dataset, "depth_filenames", None):
+            depths = np.stack(
+                [train_dataset.get_metadata(i)["depth_image"] for i in range(len(train_dataset))]
+            )
+            self.train_depths = self._put(depths.astype(np.float32))
+
     def _put(self, arr):
         x = jnp.asarray(arr)
         if self._sharding is not None:
@@ -142,6 +150,8 @@ class DeviceCacheDataManager:
             idx = sample_pixel_indices(key, num_rays, n, self.image_height, self.image_width)
         rgb = gather_pixels(images, idx)
         batch = {"image": rgb, "indices": idx}
+        if self.train_depths is not None:
+            batch["depth_image"] = gather_pixels(self.train_depths, idx)
         return idx, batch
 
     # -- eval --------------------------------------------------------------

@@ -154,6 +154,15 @@ class Trainer:
         num_rays = self.pipeline.datamanager.config.train_num_rays_per_batch
         self.base_dir.mkdir(parents=True, exist_ok=True)
 
+        if "viewer" in cfg.vis and self.viewer is None:
+            try:
+                from nerfstudio_tpu.viewer.server import Viewer
+
+                self.viewer = Viewer(self.pipeline, lambda: self.state)
+                self.viewer.start()
+            except Exception as e:  # noqa: BLE001
+                print(f"viewer unavailable: {e}")
+
         t_last = time.perf_counter()
         for step in range(int(self.state.step), cfg.max_num_iterations):
             metrics = self.train_iteration(step)

@@ -33,11 +33,11 @@ def mse_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
 
 
 def _searchsorted(a: jnp.ndarray, v: jnp.ndarray, side: str = "left") -> jnp.ndarray:
-    """Batched searchsorted over the last axis."""
-    flat_a = a.reshape(-1, a.shape[-1])
-    flat_v = v.reshape(-1, v.shape[-1])
-    idx = jax.vmap(lambda aa, vv: jnp.searchsorted(aa, vv, side=side))(flat_a, flat_v)
-    return idx.reshape(v.shape)
+    """Batched searchsorted over the last axis (fused comparison-count —
+    see ray_samplers.searchsorted_batched for the TPU rationale)."""
+    from nerfstudio_tpu.model_components.ray_samplers import searchsorted_batched
+
+    return searchsorted_batched(a, v, side=side)
 
 
 def outer(

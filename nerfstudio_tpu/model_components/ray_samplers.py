@@ -115,14 +115,27 @@ def UniformLinDispPiecewiseSampler(num_samples: int, train_stratified=True, sing
 # ---------------------------------------------------------------------------
 
 
+def searchsorted_batched(xp: jnp.ndarray, x: jnp.ndarray, side: str = "left") -> jnp.ndarray:
+    """Batched searchsorted on the last axis via a fused comparison-count.
+
+    TPU note: vmapped jnp.searchsorted lowers to a serial binary-search loop
+    (~63 ms for a nerfacto batch); the O(M*N) comparison-count fuses into one
+    VPU reduce and runs in <1 ms for the bin counts used here (N<=~512).
+    """
+    if side == "left":
+        cmp = xp[..., None, :] < x[..., :, None]
+    else:
+        cmp = xp[..., None, :] <= x[..., :, None]
+    return jnp.sum(cmp.astype(jnp.int32), axis=-1)
+
+
 def _sorted_interp(x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:
     """Piecewise-linear interp of (xp, fp) at x, batched over leading dims.
 
     x: (..., M); xp: (..., N); fp: (..., N). Vectorized searchsorted+gather —
     replaces torch.searchsorted (reference ray_samplers.py:330-352).
     """
-    idx = jax.vmap(jnp.searchsorted)(xp.reshape(-1, xp.shape[-1]), x.reshape(-1, x.shape[-1]))
-    idx = idx.reshape(x.shape)
+    idx = searchsorted_batched(xp, x, side="left")
     below = jnp.clip(idx - 1, 0, xp.shape[-1] - 1)
     above = jnp.clip(idx, 0, xp.shape[-1] - 1)
     xp0 = jnp.take_along_axis(xp, below, axis=-1)

@@ -157,11 +157,11 @@ def render_depth(
         depth = jnp.sum(weights * steps, axis=-2) / (jnp.sum(weights, axis=-2) + eps)
         return jnp.clip(depth, steps[..., 0, :].min(), steps[..., -1, :].max())
     if method == "median":
+        from nerfstudio_tpu.model_components.ray_samplers import searchsorted_batched
+
         cum = jnp.cumsum(weights[..., 0], axis=-1)  # (..., S)
         split = jnp.full(cum.shape[:-1] + (1,), 0.5)
-        idx = jax.vmap(jnp.searchsorted)(
-            cum.reshape(-1, cum.shape[-1]), split.reshape(-1, 1)
-        ).reshape(cum.shape[:-1] + (1,))
+        idx = searchsorted_batched(cum, split, side="left")
         idx = jnp.clip(idx, 0, steps.shape[-2] - 1)
         return jnp.take_along_axis(steps[..., 0], idx, axis=-1)
     raise ValueError(method)

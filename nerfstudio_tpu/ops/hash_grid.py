@@ -1,22 +1,25 @@
 """Multiresolution hash-grid encoding op (Instant-NGP).
 
 Replaces tiny-cuda-nn's HashGrid (reference field_components/encodings.py:
-307-463 torch fallback; tcnn config :362-380). Two implementations:
+307-463 torch fallback; tcnn config :362-380).
 
-  * ``hash_encode`` — pure-XLA, TPU-layout-aware: the level and corner loops
-    are statically unrolled so every large intermediate is a flat ``(N,)``
-    vector (f32 tiles are (8,128) — ANY big tensor with a tiny trailing dim
-    pads catastrophically, e.g. (N,L,8,3) int32 corners pad 16-64x and OOM'd
-    a 16G chip at N=1M). The table is stored feature-major ``(F, L*T)`` so
-    each gather is a flat vector gather.
-  * a Pallas fused hash-encode+MLP kernel lives in ``ops/fused_hash_mlp.py``
-    (the tcnn ``NetworkWithInputEncoding`` equivalent).
+TPU layout notes (measured on v5e — see git history for the profiling):
+  * a 1D scalar gather ``table1d[idx]`` runs at ~11 ns/element (XLA
+    serializes it) — 3.5 s for one nerfacto batch. Unusable.
+  * a row gather ``table2d[idx]`` with a small trailing feature dim pads
+    64x in HBM (f32 tile is (8,128)) and OOMs.
+  * a *feature-major column gather* ``tableT[:, idx]`` with tableT (F, L*T)
+    is the fast path: ~4 ms for 8.4M indices, nearly flat in M, and its
+    transpose (column scatter-add) is equally fast. The whole encode is ONE
+    such gather over every (level, corner, sample) triple, with trilinear
+    weights applied as flat (M,) vectors and corner reduction via static
+    slices — no small-trailing-dim intermediates anywhere.
 
 Hash function: XOR of coordinate-wise products with primes
 (1, 2654435761, 805459861) — the Instant-NGP spatial hash (paper eq. 4;
 reference encodings.py:398-415 uses the same primes). Coarse levels whose
-dense grid fits in the table are indexed densely (collision-free), matching
-tcnn behaviour; dense-vs-hashed is static per level."""
+dense grid fits the table are indexed densely (collision-free, tcnn
+behaviour); dense-vs-hashed is static per level."""
 
 from __future__ import annotations
 
@@ -28,6 +31,43 @@ import jax.numpy as jnp
 import numpy as np
 
 _PRIMES = (1, 2654435761, 805459861)
+
+
+@jax.custom_vjp
+def _gather_columns(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Feature-major column gather with a sort-accelerated backward.
+
+    Forward: tableT (F, T)[:, idx (M,)] -> (F, M).
+    Backward: dL/dtableT is a scatter-add of M columns. XLA's unsorted TPU
+    scatter runs at ~65 ns/element; with indices pre-sorted it runs ~6x
+    faster (~10 ns) — so the VJP sorts (idx, grads) once (lax.sort, ~3 ns/el)
+    and scatters with ``indices_are_sorted=True``. Measured ~3-5x faster
+    whole-step backward on v5e."""
+    return table_t[:, idx]
+
+
+def _gather_columns_fwd(table_t, idx):
+    return table_t[:, idx], (table_t.shape, idx)
+
+
+def _gather_columns_bwd(res, g):
+    (f, t), idx = res
+    # sort indices together with all F gradient rows, then scatter each
+    # feature row SEPARATELY as a 1D sorted scatter — measured on v5e:
+    # (F,T) column-scatter 64 ns/el, 1D sorted row-scatter 9 ns/el.
+    operands = (idx,) + tuple(g[i] for i in range(g.shape[0]))
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    idx_sorted = sorted_ops[0]
+    rows = [
+        jnp.zeros((t,), g.dtype).at[idx_sorted].add(
+            gs, indices_are_sorted=True, unique_indices=False
+        )
+        for gs in sorted_ops[1:]
+    ]
+    return jnp.stack(rows, axis=0), None
+
+
+_gather_columns.defvjp(_gather_columns_fwd, _gather_columns_bwd)
 
 
 def compute_level_resolutions(num_levels: int, min_res: int, max_res: int) -> np.ndarray:
@@ -61,47 +101,64 @@ def hash_encode(
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]  # flat (N,) vectors
 
     resolutions = compute_level_resolutions(num_levels, min_res, max_res)
-    # feature-major flat table: (F, L*T) — vector gathers, no trailing-dim pad
-    table_t = table.T.reshape(features_per_level, num_levels * hash_table_size)
+    table_t = table.T  # (F, L*T) feature-major
 
-    out_channels = []
-    for level in range(num_levels):
-        res = float(resolutions[level])
-        res_i = int(resolutions[level])
-        dense = (res_i + 1) ** 3 <= hash_table_size
-        level_offset = level * hash_table_size
+    # fully vectorized over (L, N): the level dim rides the sublane axis, N
+    # rides lanes — small HLO, one pass of VPU ops instead of L*8 unrolled
+    L = num_levels
+    scales = jnp.asarray(resolutions, jnp.float32)[:, None]  # (L, 1)
+    dense_mask_np = (resolutions + 1) ** 3 <= hash_table_size  # (L,) static
+    sides = jnp.asarray(resolutions + 1, jnp.int32)[:, None]  # (L, 1)
+    level_offsets = (jnp.arange(L, dtype=jnp.int32) * hash_table_size)[:, None]
 
-        sx, sy, sz = x * res, y * res, z * res
-        fx, fy, fz = jnp.floor(sx), jnp.floor(sy), jnp.floor(sz)
-        ox, oy, oz = sx - fx, sy - fy, sz - fz
-        ix0, iy0, iz0 = fx.astype(jnp.int32), fy.astype(jnp.int32), fz.astype(jnp.int32)
+    sx = x[None, :] * scales  # (L, N)
+    sy = y[None, :] * scales
+    sz = z[None, :] * scales
+    fx, fy, fz = jnp.floor(sx), jnp.floor(sy), jnp.floor(sz)
+    ox, oy, oz = sx - fx, sy - fy, sz - fz
+    ix0, iy0, iz0 = fx.astype(jnp.int32), fy.astype(jnp.int32), fz.astype(jnp.int32)
 
-        acc = [jnp.zeros((n,), dtype=jnp.float32) for _ in range(features_per_level)]
-        for corner in range(8):
-            dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
-            cx, cy, cz = ix0 + dx, iy0 + dy, iz0 + dz
-            if dense:
-                side = res_i + 1
-                cxc = jnp.clip(cx, 0, side - 1)
-                cyc = jnp.clip(cy, 0, side - 1)
-                czc = jnp.clip(cz, 0, side - 1)
-                idx = (cxc * side + cyc) * side + czc
-            else:
-                cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-                cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
-                cu_z = cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
-                idx = ((cu_x ^ cu_y ^ cu_z) % jnp.uint32(hash_table_size)).astype(jnp.int32)
-            idx = idx + level_offset
-            w = (
-                (ox if dx else 1.0 - ox)
-                * (oy if dy else 1.0 - oy)
-                * (oz if dz else 1.0 - oz)
-            )
-            for f in range(features_per_level):
-                acc[f] = acc[f] + w * jnp.take(table_t[f], idx, axis=0)
-        out_channels.extend(acc)
+    idx_parts = []
+    w_parts = []
+    any_dense = bool(dense_mask_np.any())
+    dense_mask = jnp.asarray(dense_mask_np)[:, None]  # (L, 1)
+    for corner in range(8):
+        dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+        cx, cy, cz = ix0 + dx, iy0 + dy, iz0 + dz  # (L, N)
+        cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+        cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+        cu_z = cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+        hashed = ((cu_x ^ cu_y ^ cu_z) % jnp.uint32(hash_table_size)).astype(jnp.int32)
+        if any_dense:
+            cxc = jnp.clip(cx, 0, sides - 1)
+            cyc = jnp.clip(cy, 0, sides - 1)
+            czc = jnp.clip(cz, 0, sides - 1)
+            dense_idx = (cxc * sides + cyc) * sides + czc
+            idx = jnp.where(dense_mask, dense_idx, hashed)
+        else:
+            idx = hashed
+        idx_parts.append(idx + level_offsets)  # (L, N)
+        w = (
+            (ox if dx else 1.0 - ox)
+            * (oy if dy else 1.0 - oy)
+            * (oz if dz else 1.0 - oz)
+        )
+        w_parts.append(w)
 
-    out = jnp.stack(out_channels, axis=-1)  # (N, L*F)
+    idx_all = jnp.stack(idx_parts, axis=0).reshape(-1)  # (8*L*N,) [corner][level][n]
+    w_all = jnp.stack(w_parts, axis=0).reshape(-1)
+
+    cols = _gather_columns(table_t, idx_all)  # (F, 8*L*N) — THE gather
+    weighted = cols * w_all[None, :]
+
+    # corner reduction: 8 static slices of (F, L*N) summed
+    ln = L * n
+    acc = weighted[:, :ln]
+    for corner in range(1, 8):
+        acc = acc + weighted[:, corner * ln : (corner + 1) * ln]
+    # (F, L, N) -> (N, L*F) with channel order out[..., l*F + f]
+    out = acc.reshape(features_per_level, L, n)
+    out = jnp.transpose(out, (2, 1, 0)).reshape(n, L * features_per_level)
     return out.reshape(batch_shape + (num_levels * features_per_level,))
 
 

@@ -113,6 +113,7 @@ class VanillaPipeline:
             anneal: float = 1.0,
             update_proposals: bool = True,
             cosine_anneal: float = 1.0,
+            depth_sigma: float = 0.01,
         ):
             k_pix, k_model = jax.random.split(key)
             idx, batch = dm.sample_train_batch(k_pix, images)
@@ -132,7 +133,8 @@ class VanillaPipeline:
                 )
                 metrics = model.get_metrics_dict(outputs, batch, params)
                 loss_dict = model.get_loss_dict(
-                    outputs, batch, metrics, params, config=model.config
+                    outputs, batch, metrics, params, config=model.config,
+                    depth_sigma=depth_sigma,
                 )
                 return self._weighted_total(loss_dict), (loss_dict, metrics)
 

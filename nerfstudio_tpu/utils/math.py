@@ -36,8 +36,8 @@ def compute_3d_gaussian(
     dir_mag_sq = jnp.maximum(jnp.sum(directions**2, axis=-1, keepdims=True), 1e-10)
     eye = jnp.eye(3, dtype=directions.dtype)
     null_outer = eye - directions[..., :, None] * (directions / dir_mag_sq)[..., None, :]
-    dir_cov = dir_variance[..., None] * dir_outer
-    radius_cov = radius_variance[..., None] * null_outer
+    dir_cov = dir_variance[..., None, None] * dir_outer
+    radius_cov = radius_variance[..., None, None] * null_outer
     return Gaussians(mean=means, cov=dir_cov + radius_cov)
 
 

@@ -1,0 +1,190 @@
+"""Live web viewer (reference: nerfstudio/viewer/, 3,660 LoC viser-based;
+viewer_legacy websocket bridge).
+
+Self-contained websocket + HTTP implementation (viser is not available in
+this environment): a browser client (viewer/client.html) orbits a camera and
+streams JPEG renders. The render loop mirrors the reference's
+RenderStateMachine (viewer/render_state_machine.py:55-353): low-res while
+moving, progressive high-res when static, yielding to training between
+frames."""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import http.server
+import io
+import json
+import threading
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+class RenderState:
+    LOW_MOVE = "low_move"
+    LOW_STATIC = "low_static"
+    HIGH = "high"
+
+
+class Viewer:
+    """(reference viewer/viewer.py:57-530)"""
+
+    def __init__(
+        self,
+        pipeline,
+        state_getter,
+        websocket_port: int = 7007,
+        http_port: int = 7008,
+        max_resolution: int = 512,
+    ):
+        self.pipeline = pipeline
+        self.state_getter = state_getter
+        self.websocket_port = websocket_port
+        self.http_port = http_port
+        self.max_resolution = max_resolution
+        self.camera_pose: Optional[np.ndarray] = None
+        self.camera_fov: float = 60.0
+        self.render_state = RenderState.LOW_STATIC
+        self._dirty = threading.Event()
+        self._clients = set()
+        self._loop = None
+        self._stop = False
+        self.train_util = 0.9  # fraction of time given to training
+        self.stats = {"step": 0, "rays_per_sec": 0.0}
+
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        threading.Thread(target=self._run_ws, daemon=True).start()
+        threading.Thread(target=self._run_http, daemon=True).start()
+        threading.Thread(target=self._render_loop, daemon=True).start()
+        print(
+            f"viewer running: http://localhost:{self.http_port} "
+            f"(ws: {self.websocket_port})"
+        )
+
+    def update(self, trainer, step: int) -> None:
+        """Called by the trainer each iteration (reference trainer.py:374)."""
+        self.stats["step"] = step
+
+    # -- websocket server ---------------------------------------------------
+    def _run_ws(self) -> None:
+        import websockets
+
+        async def handler(ws):
+            self._clients.add(ws)
+            try:
+                async for raw in ws:
+                    msg = json.loads(raw)
+                    if msg.get("type") == "camera":
+                        self.camera_pose = np.asarray(msg["c2w"], np.float32).reshape(3, 4)
+                        self.camera_fov = float(msg.get("fov", 60.0))
+                        self.render_state = RenderState.LOW_MOVE
+                        self._dirty.set()
+            finally:
+                self._clients.discard(ws)
+
+        async def main():
+            self._loop = asyncio.get_running_loop()
+            async with websockets.serve(handler, "0.0.0.0", self.websocket_port):
+                while not self._stop:
+                    await asyncio.sleep(0.25)
+
+        asyncio.run(main())
+
+    def _send(self, payload: dict) -> None:
+        if self._loop is None:
+            return
+        data = json.dumps(payload)
+
+        async def _broadcast():
+            for ws in list(self._clients):
+                try:
+                    await ws.send(data)
+                except Exception:
+                    self._clients.discard(ws)
+
+        asyncio.run_coroutine_threadsafe(_broadcast(), self._loop)
+
+    # -- http static server -------------------------------------------------
+    def _run_http(self) -> None:
+        client_html = (Path(__file__).parent / "client.html").read_text()
+        client_html = client_html.replace("__WS_PORT__", str(self.websocket_port))
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(inner):
+                inner.send_response(200)
+                inner.send_header("Content-Type", "text/html")
+                inner.end_headers()
+                inner.wfile.write(client_html.encode())
+
+            def log_message(inner, *a):
+                pass
+
+        http.server.ThreadingHTTPServer(("0.0.0.0", self.http_port), Handler).serve_forever()
+
+    # -- render loop --------------------------------------------------------
+    def _resolution_for_state(self) -> int:
+        if self.render_state == RenderState.LOW_MOVE:
+            return 128
+        if self.render_state == RenderState.LOW_STATIC:
+            return 256
+        return self.max_resolution
+
+    def _render_loop(self) -> None:
+        from PIL import Image
+
+        from nerfstudio_tpu.cameras.cameras import Cameras
+
+        while not self._stop:
+            if not self._clients or self.camera_pose is None:
+                time.sleep(0.1)
+                continue
+            self._dirty.clear()
+            res = self._resolution_for_state()
+            focal = res / (2 * np.tan(np.deg2rad(self.camera_fov) / 2))
+            cam = Cameras(
+                camera_to_worlds=self.camera_pose[None],
+                fx=focal, fy=focal, cx=res / 2, cy=res / 2, width=res, height=res,
+            )
+            try:
+                t0 = time.perf_counter()
+                state = self.state_getter()
+                if hasattr(self.pipeline, "model") and hasattr(self.pipeline.model, "render"):
+                    out = self.pipeline.model.render(
+                        state.params, state.aux.alive, cam.camera_to_worlds[0],
+                        (focal, focal, res / 2, res / 2), res, res,
+                        sh_degree_active=self.pipeline.model.config.sh_degree,
+                    )
+                else:
+                    out = self.pipeline.render_camera(
+                        state.params, cam, 0, chunk_size=res * res,
+                        aux=getattr(state, "aux", None),
+                    )
+                rgb = np.asarray(out["rgb"])
+                dt = time.perf_counter() - t0
+                img = Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG", quality=80)
+                self._send(
+                    {
+                        "type": "frame",
+                        "jpeg": base64.b64encode(buf.getvalue()).decode(),
+                        "res": res,
+                        "render_ms": round(dt * 1e3, 1),
+                        "step": self.stats["step"],
+                    }
+                )
+                # progressive refinement: move -> static -> high
+                if not self._dirty.is_set():
+                    if self.render_state == RenderState.LOW_MOVE:
+                        self.render_state = RenderState.LOW_STATIC
+                    elif self.render_state == RenderState.LOW_STATIC:
+                        self.render_state = RenderState.HIGH
+                # yield to training
+                time.sleep(max(dt * self.train_util / (1 - self.train_util), 0.02))
+            except Exception as e:  # noqa: BLE001
+                print(f"[viewer] render error: {e}")
+                time.sleep(0.5)
