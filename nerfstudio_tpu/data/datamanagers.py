@@ -78,23 +78,31 @@ class DeviceCacheDataManager:
         n, h, w, c = self._all_images_host.shape
         self.image_height, self.image_width, self.num_channels = h, w, c
 
-        subset = self._select_subset(np.random.default_rng(0))
-        self.train_images = self._put(self._all_images_host[subset])
-        self._resident = subset
         self.train_cameras: Cameras = train_dataset.cameras
         self.eval_cameras: Cameras = self.eval_dataset.cameras
+
+        self._subsetting = (
+            config.max_images_in_memory is not None
+            and config.max_images_in_memory < self.num_train_images
+        )
+        if self._subsetting and self._masks_host is not None:
+            raise NotImplementedError(
+                "max_images_in_memory with per-pixel masks is unsupported: the "
+                "mask-valid index table is built over the full image stack"
+            )
+
+        # optional per-pixel depth supervision stack (depth-nerfacto)
+        self._all_depths_host = None
+        if getattr(train_dataset, "depth_filenames", None):
+            self._all_depths_host = np.stack(
+                [train_dataset.get_metadata(i)["depth_image"] for i in range(len(train_dataset))]
+            ).astype(np.float32)
+
+        self._load_subset(self._select_subset(np.random.default_rng(0)))
 
         self.valid_indices = None
         if self._masks_host is not None:
             self.valid_indices = jnp.asarray(build_valid_indices(self._masks_host))
-
-        # optional per-pixel depth supervision stack (depth-nerfacto)
-        self.train_depths = None
-        if getattr(train_dataset, "depth_filenames", None):
-            depths = np.stack(
-                [train_dataset.get_metadata(i)["depth_image"] for i in range(len(train_dataset))]
-            )
-            self.train_depths = self._put(depths.astype(np.float32))
 
     def _put(self, arr):
         x = jnp.asarray(arr)
@@ -108,27 +116,44 @@ class DeviceCacheDataManager:
             return np.arange(self.num_train_images)
         return rng.choice(self.num_train_images, size=m, replace=False)
 
-    def maybe_reload(self, step: int, rng=None) -> None:
-        """Swap the resident image subset (host->HBM) on the reload cadence."""
-        m = self.config.max_images_in_memory
-        if m is None or m >= self.num_train_images:
-            return
-        if step % self.config.steps_per_reload != 0:
-            return
-        rng = rng or np.random.default_rng(step)
-        subset = self._select_subset(rng)
+    def _load_subset(self, subset: np.ndarray) -> None:
+        """Upload the resident image subset + its slot->original-camera map.
+
+        ``resident_map`` MUST be threaded through the jitted train step as a
+        traced argument (not captured) so that pixel batches sampled over the
+        resident stack generate rays from the matching ORIGINAL cameras —
+        capturing it at trace time would silently supervise images with rays
+        from the wrong cameras after the first reload."""
         self.train_images = self._put(self._all_images_host[subset])
         self._resident = subset
+        self.resident_map = self._put(np.asarray(subset, np.int32))
+        if self._all_depths_host is not None:
+            self.train_depths = self._put(self._all_depths_host[subset])
+        else:
+            self.train_depths = None
+
+    def maybe_reload(self, step: int, rng=None) -> None:
+        """Swap the resident image subset (host->HBM) on the reload cadence."""
+        if not self._subsetting or step % self.config.steps_per_reload != 0:
+            return
+        rng = rng or np.random.default_rng(step)
+        self._load_subset(self._select_subset(rng))
 
     # -- jit-side pure functions ------------------------------------------
 
     def sample_train_batch(
-        self, key: jax.Array, images: jnp.ndarray, num_rays: Optional[int] = None
+        self,
+        key: jax.Array,
+        images: jnp.ndarray,
+        num_rays: Optional[int] = None,
+        resident_map: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Pure: key -> (ray_indices (R,3), batch{'image': (R,C)}).
 
-        Call from inside the jitted train step with ``images`` passed as an
-        argument (donated/resident in HBM)."""
+        Call from inside the jitted train step with ``images`` (and, when the
+        resident set is a subset, ``resident_map``) passed as arguments
+        (donated/resident in HBM). The returned ray indices carry ORIGINAL
+        camera indices (remapped through ``resident_map``)."""
         num_rays = num_rays or self.config.train_num_rays_per_batch
         n = images.shape[0]
         sampler = self.config.pixel_sampler
@@ -152,6 +177,10 @@ class DeviceCacheDataManager:
         batch = {"image": rgb, "indices": idx}
         if self.train_depths is not None:
             batch["depth_image"] = gather_pixels(self.train_depths, idx)
+        if resident_map is not None:
+            # remap resident slot -> original camera index for ray generation
+            idx = idx.at[:, 0].set(resident_map[idx[:, 0]])
+            batch["indices"] = idx
         return idx, batch
 
     # -- eval --------------------------------------------------------------

@@ -127,11 +127,25 @@ class Nerfstudio(DataParser):
         indices = train_idx if split == "train" else eval_idx
 
         poses = np.stack(poses, axis=0)
-        # transforms.json stores OpenGL c2w already; optional applied_transform
+        # transforms.json stores OpenGL c2w (applied_transform already folded
+        # into the poses at process-data time). The raw COLMAP/ply 3D points
+        # are NOT pre-transformed, so the applied_transform must be composed
+        # into the dataparser transform before mapping points/external
+        # geometry into the pose frame (reference nerfstudio_dataparser.py:
+        # applied_transform handling, incl. the implicit COLMAP default).
+        applied = meta.get("applied_transform")
+        if applied is None and (data_dir / "colmap" / "sparse" / "0").exists():
+            applied = [[0, 1, 0, 0], [1, 0, 0, 0], [0, 0, -1, 0]]
         poses, transform_matrix = camera_utils.auto_orient_and_center_poses(
             poses, method=cfg.orientation_method, center_method=cfg.center_method
         )
         poses = poses[:, :3]
+        if applied is not None:
+            a44 = np.eye(4, dtype=np.float32)
+            a44[:3] = np.asarray(applied, dtype=np.float32)[:3]
+            t44 = np.eye(4, dtype=np.float32)
+            t44[:3] = np.asarray(transform_matrix, dtype=np.float32)[:3]
+            transform_matrix = (t44 @ a44)[:3]
         scale = 1.0
         if cfg.auto_scale_poses:
             scale = 1.0 / max(float(np.max(np.abs(poses[:, :3, 3]))), 1e-8)

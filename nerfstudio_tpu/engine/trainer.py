@@ -106,6 +106,11 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
+        # model-family aux state (e.g. instant-ngp occupancy grid) must
+        # survive resume — dropping it silently degrades sampling after
+        # restart (reference keeps it in the model state_dict)
+        if self.state.aux is not None:
+            payload["aux"] = self.state.aux
         mgr.save(step, args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
 
@@ -123,11 +128,19 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        if self.state.aux is not None:
+            template["aux"] = self.state.aux
+        try:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            # older checkpoint without aux: restore what exists, re-init aux
+            template.pop("aux", None)
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
         self.state = TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=restored["step"],
+            aux=restored.get("aux", self.state.aux),
         )
         print(f"loaded checkpoint at step {step} from {load_dir}")
 
@@ -142,6 +155,8 @@ class Trainer:
         if self.pipeline.aux_update_fn is not None:
             self.key, aux_key = jax.random.split(self.key)
             self.state = self.pipeline.aux_update_fn(self.state, step, aux_key)
+        if getattr(dm, "_subsetting", False):
+            kwargs = dict(kwargs, resident_map=dm.resident_map)
         self.state, metrics = self.pipeline.train_step(
             self.state, dm.train_images, step_key, **kwargs
         )
@@ -164,14 +179,17 @@ class Trainer:
                 print(f"viewer unavailable: {e}")
 
         t_last = time.perf_counter()
+        steps_since_log = 0
         for step in range(int(self.state.step), cfg.max_num_iterations):
             metrics = self.train_iteration(step)
+            steps_since_log += 1
 
             if step % 10 == 0 or step == cfg.max_num_iterations - 1:
                 jax.block_until_ready(self.state.params)
                 now = time.perf_counter()
-                rays_per_sec = num_rays * max(1, min(10, step + 1)) / (now - t_last)
+                rays_per_sec = num_rays * steps_since_log / (now - t_last)
                 t_last = now
+                steps_since_log = 0
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 host_metrics["train_rays_per_sec"] = rays_per_sec
                 self.writer.put_dict("train", host_metrics, step)
@@ -181,6 +199,13 @@ class Trainer:
 
             if cfg.steps_per_eval_image and step % cfg.steps_per_eval_image == 0 and step > 0:
                 self.eval_iteration(step)
+            if (
+                cfg.steps_per_eval_all_images
+                and step % cfg.steps_per_eval_all_images == 0
+                and step > 0
+            ):
+                all_metrics = self.pipeline.get_average_eval_image_metrics(self.state)
+                self.writer.put_dict("eval_all", all_metrics, step)
             if cfg.steps_per_save and (step + 1) % cfg.steps_per_save == 0:
                 self.save_checkpoint(step + 1)
 

@@ -343,19 +343,25 @@ class SplatfactoModel:
             reset_val = jnp.log(cfg.cull_alpha_thresh * 2.0 / (1 - cfg.cull_alpha_thresh * 2.0))
             new_params["opacities"] = jnp.minimum(new_params["opacities"], reset_val)
 
-        # zero Adam moments on touched slots (new slots + split sources)
+        # zero Adam moments on touched slots (new slots + split sources); on
+        # reset_alpha, additionally wipe ONLY the opacities moments (the
+        # reference resets just the opacity optimizer state — wiping every
+        # group's moments each reset measurably slows convergence)
         touched = jnp.zeros((n_cap,), bool).at[free].set(write_ok)
         touched = touched.at[src].set(touched[src] | split_src_write)
-        if reset_alpha:
-            touched = jnp.ones((n_cap,), bool)
 
-        def zero_touched(leaf):
-            if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == n_cap:
-                mask = touched.reshape((n_cap,) + (1,) * (leaf.ndim - 1))
-                return jnp.where(mask, 0.0, leaf).astype(leaf.dtype)
-            return leaf
+        def zero_touched(path, leaf):
+            if not (hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == n_cap):
+                return leaf
+            is_opac = any(
+                getattr(p, "key", getattr(p, "name", None)) == "opacities" for p in path
+            )
+            if reset_alpha and is_opac:
+                return jnp.zeros_like(leaf)
+            mask = touched.reshape((n_cap,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(mask, 0.0, leaf).astype(leaf.dtype)
 
-        new_opt_state = jax.tree_util.tree_map(zero_touched, opt_state)
+        new_opt_state = jax.tree_util.tree_map_with_path(zero_touched, opt_state)
 
         new_aux = SplatAux(
             alive=alive,

@@ -29,7 +29,8 @@ from nerfstudio_tpu.data.datamanagers import DeviceCacheDataManager
 from nerfstudio_tpu.model_components.ray_generators import generate_rays_from_indices
 from nerfstudio_tpu.models.base_model import Model, render_camera
 from nerfstudio_tpu.parallel.mesh import shard_rays
-from nerfstudio_tpu.utils.metrics import lpips, psnr, ssim
+from nerfstudio_tpu.utils.lpips import lpips_fn
+from nerfstudio_tpu.utils.metrics import psnr, ssim
 
 
 @flax.struct.dataclass
@@ -110,13 +111,14 @@ class VanillaPipeline:
             state: TrainState,
             images: jnp.ndarray,
             key: jax.Array,
+            resident_map: Optional[jnp.ndarray] = None,
             anneal: float = 1.0,
             update_proposals: bool = True,
             cosine_anneal: float = 1.0,
             depth_sigma: float = 0.01,
         ):
             k_pix, k_model = jax.random.split(key)
-            idx, batch = dm.sample_train_batch(k_pix, images)
+            idx, batch = dm.sample_train_batch(k_pix, images, resident_map=resident_map)
             idx = shard_rays(idx, mesh)
             batch = shard_rays(batch, mesh)
 
@@ -201,10 +203,11 @@ class VanillaPipeline:
             gt = blend_background(gt_raw, background_color=bg)
         else:
             gt = gt_raw
+        lp_fn, lp_name = lpips_fn()
         metrics = {
             "psnr": float(psnr(pred, gt)),
             "ssim": float(ssim(pred, gt)),
-            "lpips": float(lpips(pred, gt)),
+            lp_name: float(lp_fn(pred, gt)),
         }
         images = {"img": np.concatenate([np.asarray(gt), np.asarray(pred)], axis=1)}
         images.update({k: v for k, v in outputs.items() if k not in ("rgb",)})

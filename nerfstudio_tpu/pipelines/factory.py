@@ -19,9 +19,11 @@ from nerfstudio_tpu.parallel.mesh import make_mesh
 from nerfstudio_tpu.pipelines.base_pipeline import TrainState, VanillaPipeline
 
 
-def _eval_split_for(parser) -> str:
+def _eval_split_candidates(parser) -> Tuple[str, ...]:
+    # blender ships explicit test/val splits (reference blender_dataparser);
+    # other parsers derive "val" from a train fraction
     name = type(parser).__name__.lower()
-    return "val" if "blender" in name else "val"
+    return ("test", "val") if "blender" in name else ("val", "test")
 
 
 def build_datasets(config: MethodConfig):
@@ -29,10 +31,13 @@ def build_datasets(config: MethodConfig):
         config.dataparser.data = Path(config.data)
     parser = config.dataparser.setup()
     train_out = parser.get_dataparser_outputs("train")
-    try:
-        eval_out = parser.get_dataparser_outputs(_eval_split_for(parser))
-    except FileNotFoundError:
-        eval_out = train_out
+    eval_out = train_out
+    for split in _eval_split_candidates(parser):
+        try:
+            eval_out = parser.get_dataparser_outputs(split)
+            break
+        except FileNotFoundError:
+            continue
     return InputDataset(train_out), InputDataset(eval_out), train_out
 
 

@@ -21,7 +21,8 @@ import optax
 
 from nerfstudio_tpu.data.datamanagers import FullImageDatamanager
 from nerfstudio_tpu.models.splatfacto import SplatAux, SplatfactoModel, SplatfactoModelConfig
-from nerfstudio_tpu.utils.metrics import lpips, psnr, ssim
+from nerfstudio_tpu.utils.lpips import lpips_fn
+from nerfstudio_tpu.utils.metrics import psnr, ssim
 
 
 @flax.struct.dataclass
@@ -227,10 +228,11 @@ class SplatPipeline:
         if gt.shape[-1] == 4:
             gt = gt[..., :3] * gt[..., 3:] + out["background"] * (1 - gt[..., 3:])
         pred = out["rgb"]
+        lp_fn, lp_name = lpips_fn()
         return {
             "psnr": float(psnr(pred, gt)),
             "ssim": float(ssim(pred, gt)),
-            "lpips": float(lpips(pred, gt)),
+            lp_name: float(lp_fn(pred, gt)),
         }, out
 
 

@@ -1,10 +1,7 @@
-"""Image quality metrics in pure JAX: PSNR, SSIM, LPIPS.
+"""Image quality metrics in pure JAX: PSNR, SSIM (LPIPS in utils/lpips.py).
 
 Replaces torchmetrics / pytorch-msssim / lpips (reference
-models/nerfacto.py:246-252). LPIPS uses a small conv feature network; without
-pretrained VGG weights available offline it runs with normalized random
-features (NOTE: correlates with but does not equal torch-lpips — gate any
-cross-framework comparison on PSNR/SSIM)."""
+models/nerfacto.py:246-252)."""
 
 from __future__ import annotations
 
@@ -67,46 +64,10 @@ def ssim(
     return jnp.mean(ssim_map)
 
 
-# ---------------------------------------------------------------------------
-# LPIPS-style perceptual distance
-# ---------------------------------------------------------------------------
-
-_LPIPS_CHANNELS = (16, 32, 64, 128)
-
-
-def _lpips_features(img: jnp.ndarray, weights) -> list:
-    """Small strided conv stack; features unit-normalized per-pixel."""
-    x = (img - 0.5) * 2.0  # [-1, 1]
-    x = jnp.moveaxis(x, -1, 0)[None]  # (1, C, H, W)
-    feats = []
-    for i, w in enumerate(weights):
-        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
-        x = jax.lax.conv_general_dilated(x, w, (2, 2), "SAME", dimension_numbers=dn)
-        x = jax.nn.relu(x) if i < len(weights) - 1 else x
-        norm = jnp.sqrt(jnp.sum(x**2, axis=1, keepdims=True) + 1e-10)
-        feats.append(x / norm)
-    return feats
-
-
-@functools.lru_cache(maxsize=1)
-def _lpips_weights():
-    rng = np.random.default_rng(1234)
-    weights = []
-    cin = 3
-    for cout in _LPIPS_CHANNELS:
-        w = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
-        w /= np.sqrt(cin * 9)
-        weights.append(jnp.asarray(w))
-        cin = cout
-    return tuple(weights)
-
-
+# LPIPS lives in utils/lpips.py (real VGG weights when available, else a
+# clearly-labeled proxy). Kept as a compat alias; prefer lpips_fn().
 def lpips(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Perceptual distance between (H, W, 3) images in [0,1]."""
-    weights = _lpips_weights()
-    fp = _lpips_features(pred, weights)
-    ft = _lpips_features(target, weights)
-    dist = 0.0
-    for a, b in zip(fp, ft):
-        dist = dist + jnp.mean((a - b) ** 2)
-    return dist
+    from nerfstudio_tpu.utils.lpips import lpips_fn
+
+    fn, _ = lpips_fn()
+    return fn(pred, target)

@@ -114,6 +114,34 @@ def test_device_cache_datamanager(blender_dir):
     assert not jnp.array_equal(idx, idx2)
 
 
+def test_device_cache_subset_remaps_camera_indices(blender_dir):
+    """With max_images_in_memory, sampled batches must carry ORIGINAL camera
+    indices while pixels come from the resident subset (ADVICE r1 high)."""
+    parser = BlenderDataParserConfig(data=blender_dir).setup()
+    train_out = parser.get_dataparser_outputs("train")
+    ds = InputDataset(train_out)
+    dm = DeviceCacheDataManager(
+        DataManagerConfig(
+            train_num_rays_per_batch=64, max_images_in_memory=2, steps_per_reload=5
+        ),
+        ds,
+    )
+    assert dm.train_images.shape[0] == 2
+    all_images = np.asarray(dm._all_images_host).astype(np.float32) / 255.0
+
+    for step in [0, 5]:  # second pass swaps the resident subset
+        dm.maybe_reload(step)
+        idx, batch = jax.jit(
+            lambda k, imgs, rmap: dm.sample_train_batch(k, imgs, resident_map=rmap)
+        )(jax.random.PRNGKey(step), dm.train_images, dm.resident_map)
+        idx = np.asarray(idx)
+        resident = set(np.asarray(dm._resident).tolist())
+        assert set(idx[:, 0].tolist()) <= resident, "camera indices must be original"
+        # the gathered pixel must equal the ORIGINAL image at (cam,row,col)
+        expect = all_images[idx[:, 0], idx[:, 1], idx[:, 2]]
+        np.testing.assert_allclose(np.asarray(batch["image"]), expect, atol=1e-6)
+
+
 def test_full_image_datamanager(blender_dir):
     parser = BlenderDataParserConfig(data=blender_dir).setup()
     dm = FullImageDatamanager(DataManagerConfig(), InputDataset(parser.get_dataparser_outputs("train")))

@@ -1,0 +1,105 @@
+"""Multi-chip (SPMD) training-path tests on the 8-virtual-device CPU mesh.
+
+The reference's distributed contract is DDP data-parallelism (reference
+pipelines/base_pipeline.py:279-282, scripts/train.py:161-226); here the
+equivalent is: ray batch sharded on the ``data`` mesh axis, params
+replicated, gradient psum inserted by XLA. These tests actually execute the
+sharded train step — not just construct the mesh."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from fixtures import make_blender_fixture  # noqa: E402
+
+from nerfstudio_tpu.parallel.mesh import DATA_AXIS, data_sharding, make_mesh, shard_rays
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    return make_blender_fixture(tmp_path_factory.mktemp("blender_mesh"), hw=16)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+
+
+def test_shard_rays_constrains_batch_axis():
+    mesh = make_mesh()
+
+    @jax.jit
+    def f(x):
+        return shard_rays(x, mesh) * 2.0
+
+    x = jnp.ones((64, 3))
+    y = f(x)
+    assert y.sharding.is_equivalent_to(data_sharding(mesh), ndim=y.ndim)
+
+
+def test_mesh_train_step_runs_and_shards(blender_dir, tmp_path):
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+    from nerfstudio_tpu.pipelines.factory import build_pipeline
+
+    config = get_method("nerfacto")
+    config.dataparser = BlenderDataParserConfig(data=blender_dir)
+    config.data = blender_dir
+    config.datamanager.train_num_rays_per_batch = 64  # divides 8 devices
+    m = config.model
+    m.num_proposal_samples_per_ray = (8, 8)
+    m.num_nerf_samples_per_ray = 8
+    m.log2_hashmap_size = 9
+    m.max_res = 64
+    m.hidden_dim = 8
+    m.hidden_dim_color = 8
+
+    pipeline, state, config = build_pipeline(config, use_mesh=True)
+    assert pipeline.mesh is not None, "mesh must be active on the 8-device CPU config"
+
+    ModelCls = config.model._target
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for step in range(3):
+        key, k = jax.random.split(key)
+        state, metrics = pipeline.train_step(
+            state, pipeline.datamanager.train_images, k, **ModelCls.step_kwargs(step, config.model)
+        )
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(v) for v in losses), losses
+
+    # params must be replicated (gradient psum happened under the hood)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_mesh_matches_single_device_loss(blender_dir):
+    """Same rng, mesh on/off -> identical first-step loss (pure data split)."""
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+    from nerfstudio_tpu.pipelines.factory import build_pipeline
+
+    def first_loss(use_mesh):
+        config = get_method("vanilla-nerf")
+        config.dataparser = BlenderDataParserConfig(data=blender_dir)
+        config.data = blender_dir
+        config.datamanager.train_num_rays_per_batch = 32
+        config.model.num_coarse_samples = 4
+        config.model.num_importance_samples = 4
+        pipeline, state, config = build_pipeline(config, use_mesh=use_mesh)
+        state, metrics = pipeline.train_step(
+            state, pipeline.datamanager.train_images, jax.random.PRNGKey(7)
+        )
+        return float(metrics["loss"])
+
+    a = first_loss(False)
+    b = first_loss(True)
+    assert np.isfinite(a) and np.isfinite(b)
+    np.testing.assert_allclose(a, b, rtol=2e-4)
