@@ -2,7 +2,12 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: reference nerfacto-big reaches ~70k rays/sec on 1x V100
-(reference docs/quickstart/first_nerf.md:129; BASELINE.md)."""
+(reference docs/quickstart/first_nerf.md:129; BASELINE.md).
+
+Timing is honest: the tunneled TPU runtime's ``block_until_ready`` can return
+before execution finishes, so the loop is state-chained and synced by a host
+readback of the final step's loss (which transitively depends on every step).
+"""
 
 from __future__ import annotations
 
@@ -22,7 +27,7 @@ def main() -> None:
     from nerfstudio_tpu.models.nerfacto import NerfactoModel
     from nerfstudio_tpu.pipelines.base_pipeline import VanillaPipeline
 
-    rays_per_batch = 4096
+    rays_per_batch = 8192
     cfg, dm, model_train, model_eval = _synthetic_setup(
         hw=128, n_images=16, rays=rays_per_batch, tiny=False
     )
@@ -31,22 +36,33 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     params = pipeline.init_params(key)
     pipeline.tx = build_optimizers(cfg.optimizers, params)
+    if hasattr(NerfactoModel, "init_aux"):
+        pipeline.init_aux = lambda: NerfactoModel.init_aux(model_train, cfg.model)
     state = pipeline.init_state(key, params=params)
-    kwargs = NerfactoModel.step_kwargs(2000, cfg.model)
+    aux_hook = NerfactoModel.make_aux_update_fn(model_train, cfg.model)
 
-    # warmup (compile)
-    for i in range(3):
-        key, k = jax.random.split(key)
-        state, metrics = pipeline.train_step(state, dm.train_images, k, **kwargs)
-    jax.block_until_ready(state.params)
+    def run(state, key, start_step, n_steps):
+        """Steady-state trainer loop: aux updates + per-step kwargs."""
+        metrics = None
+        for i in range(n_steps):
+            step = start_step + i
+            key, k_aux, k_step = jax.random.split(key, 3)
+            if aux_hook is not None:
+                state = aux_hook(state, step, k_aux)
+            kwargs = NerfactoModel.step_kwargs(step, cfg.model)
+            state, metrics = pipeline.train_step(state, dm.train_images, k_step, **kwargs)
+        return state, key, metrics
 
-    n_steps = 30
+    # warmup: compile every variant (update_proposals on/off, aux update)
+    state, key, metrics = run(state, key, 6000, 12)
+    _ = float(metrics["loss"])  # host readback = true sync
+
+    n_steps = 50
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        key, k = jax.random.split(key)
-        state, metrics = pipeline.train_step(state, dm.train_images, k, **kwargs)
-    jax.block_until_ready(state.params)
+    state, key, metrics = run(state, key, 6012, n_steps)
+    loss = float(metrics["loss"])  # forces the whole chained loop
     dt = time.perf_counter() - t0
+    assert np.isfinite(loss), f"bench loss not finite: {loss}"
 
     rays_per_sec = rays_per_batch * n_steps / dt
     print(

@@ -124,6 +124,10 @@ class Nerfstudio(DataParser):
             train_idx = eval_idx = idx
         else:
             raise NotImplementedError(cfg.eval_mode)
+        if eval_idx.size == 0:
+            # tiny captures: ceil(n * fraction) can swallow every image —
+            # fall back to evaluating on the last frame rather than crashing
+            eval_idx = idx[-1:]
         indices = train_idx if split == "train" else eval_idx
 
         poses = np.stack(poses, axis=0)

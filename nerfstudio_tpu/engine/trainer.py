@@ -132,7 +132,9 @@ class Trainer:
             template["aux"] = self.state.aux
         try:
             restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-        except Exception:
+        except ValueError:
+            if "aux" not in template:
+                raise
             # older checkpoint without aux: restore what exists, re-init aux
             template.pop("aux", None)
             restored = mgr.restore(step, args=ocp.args.StandardRestore(template))

@@ -106,6 +106,17 @@ class NerfactoField(Field):
             out_activation="sigmoid",
         )
 
+    def density_from_normalized(self, positions01: jnp.ndarray) -> jnp.ndarray:
+        """Density at already contracted+normalized coords in [0,1]^3.
+
+        Used by the occupancy-grid aux update, whose grid lives directly in
+        the field's normalized input space (no inverse contraction needed)."""
+        selector = jnp.all((positions01 > 0.0) & (positions01 < 1.0), axis=-1, keepdims=True)
+        p = positions01 * selector
+        h = self.mlp_base(p)
+        density = self.average_init_density * trunc_exp(h[..., :1].astype(jnp.float32))
+        return density * selector
+
     def get_density(self, ray_samples: RaySamples):
         """(reference nerfacto_field.py:203-232)"""
         positions = ray_samples.frustums.get_positions()

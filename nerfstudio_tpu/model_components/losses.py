@@ -52,8 +52,12 @@ def outer(
     cy1 = jnp.concatenate([jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
     idx_lo = jnp.clip(_searchsorted(t1_starts, t0_starts, side="right") - 1, 0, y1.shape[-1] - 1)
     idx_hi = jnp.clip(_searchsorted(t1_ends, t0_ends, side="right"), 0, y1.shape[-1] - 1)
-    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    from nerfstudio_tpu.ops.select import take_last_axis
+
+    # one-hot select instead of take_along_axis: lane gathers (and their
+    # scatter backward) serialize on TPU — this was 290 ms/step in nerfacto
+    cy1_lo = take_last_axis(cy1[..., :-1], idx_lo)
+    cy1_hi = take_last_axis(cy1[..., 1:], idx_hi)
     return cy1_hi - cy1_lo
 
 

@@ -138,10 +138,13 @@ def _sorted_interp(x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndar
     idx = searchsorted_batched(xp, x, side="left")
     below = jnp.clip(idx - 1, 0, xp.shape[-1] - 1)
     above = jnp.clip(idx, 0, xp.shape[-1] - 1)
-    xp0 = jnp.take_along_axis(xp, below, axis=-1)
-    xp1 = jnp.take_along_axis(xp, above, axis=-1)
-    fp0 = jnp.take_along_axis(fp, below, axis=-1)
-    fp1 = jnp.take_along_axis(fp, above, axis=-1)
+    from nerfstudio_tpu.ops.select import take_last_axis
+
+    # one-hot select: minor-axis take_along_axis serializes on TPU
+    xp0 = take_last_axis(xp, below)
+    xp1 = take_last_axis(xp, above)
+    fp0 = take_last_axis(fp, below)
+    fp1 = take_last_axis(fp, above)
     denom = xp1 - xp0
     t = jnp.where(denom > 1e-10, (x - xp0) / jnp.where(denom > 1e-10, denom, 1.0), 0.0)
     return fp0 + t * (fp1 - fp0)
@@ -236,6 +239,13 @@ class ProposalNetworkSampler:
     single_jitter: bool = True
     initial_sampler: Optional[SpacedSampler] = None
     pdf_include_original: bool = False
+    # TPU redesign: an occupancy-grid (or other net-free) weight source for
+    # the FIRST round — replaces the expensive uniform-256-sample proposal-1
+    # field eval with cheap grid probes (VERDICT r1 roadmap item (a)).
+    # Signature: (probe RaySamples) -> (R, P, 1) weights. Gradients are
+    # stopped; probes use `num_initial_probes` samples at the initial spacing.
+    initial_weights_fn: Optional[Callable[[RaySamples], jnp.ndarray]] = None
+    num_initial_probes: int = 192
 
     def __post_init__(self):
         if self.num_proposal_network_iterations < 1:
@@ -265,8 +275,16 @@ class ProposalNetworkSampler:
         ray_samples: Optional[RaySamples] = None
         n_rounds = self.num_proposal_network_iterations + 1
         keys = (
-            list(jax.random.split(key, n_rounds)) if key is not None else [None] * n_rounds
+            list(jax.random.split(key, n_rounds + 1))
+            if key is not None
+            else [None] * (n_rounds + 1)
         )
+        if self.initial_weights_fn is not None:
+            # round 0 from a net-free weight source (occupancy grid probes)
+            ray_samples = initial(
+                ray_bundle, key=keys[n_rounds], num_samples=self.num_initial_probes
+            )
+            weights = jax.lax.stop_gradient(self.initial_weights_fn(ray_samples))
         for i in range(n_rounds):
             is_prop = i < self.num_proposal_network_iterations
             num_samples = (
@@ -274,7 +292,7 @@ class ProposalNetworkSampler:
                 if is_prop
                 else self.num_nerf_samples_per_ray
             )
-            if i == 0:
+            if i == 0 and weights is None:
                 ray_samples = initial(ray_bundle, key=keys[i], num_samples=num_samples)
             else:
                 # weight annealing: w^anneal (reference :601)

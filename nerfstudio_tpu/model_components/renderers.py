@@ -163,7 +163,9 @@ def render_depth(
         split = jnp.full(cum.shape[:-1] + (1,), 0.5)
         idx = searchsorted_batched(cum, split, side="left")
         idx = jnp.clip(idx, 0, steps.shape[-2] - 1)
-        return jnp.take_along_axis(steps[..., 0], idx, axis=-1)
+        from nerfstudio_tpu.ops.select import take_last_axis
+
+        return take_last_axis(steps[..., 0], idx)
     raise ValueError(method)
 
 

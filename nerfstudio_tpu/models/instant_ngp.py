@@ -147,10 +147,10 @@ class InstantNGPModel(Model):
     # -- aux: occupancy grid state ------------------------------------------
 
     @staticmethod
-    def init_aux(config: InstantNGPModelConfig):
-        # aabb filled in by the update fn / get_outputs via scene_aabb; use
-        # unit cube placeholder replaced at first update
-        return None  # created lazily in make_aux_update_fn closure
+    def init_aux(model: "InstantNGPModel", config: InstantNGPModelConfig):
+        # eager init so TrainState.aux exists from step 0 — required for the
+        # checkpoint template to match saved checkpoints on resume
+        return init_occupancy_grid(model.scene_aabb, config.grid_resolution)
 
     @staticmethod
     def make_aux_update_fn(model: "InstantNGPModel", config: InstantNGPModelConfig):

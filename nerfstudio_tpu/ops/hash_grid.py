@@ -3,17 +3,25 @@
 Replaces tiny-cuda-nn's HashGrid (reference field_components/encodings.py:
 307-463 torch fallback; tcnn config :362-380).
 
-TPU layout notes (measured on v5e — see git history for the profiling):
-  * a 1D scalar gather ``table1d[idx]`` runs at ~11 ns/element (XLA
-    serializes it) — 3.5 s for one nerfacto batch. Unusable.
-  * a row gather ``table2d[idx]`` with a small trailing feature dim pads
-    64x in HBM (f32 tile is (8,128)) and OOMs.
-  * a *feature-major column gather* ``tableT[:, idx]`` with tableT (F, L*T)
-    is the fast path: ~4 ms for 8.4M indices, nearly flat in M, and its
-    transpose (column scatter-add) is equally fast. The whole encode is ONE
-    such gather over every (level, corner, sample) triple, with trilinear
-    weights applied as flat (M,) vectors and corner reduction via static
-    slices — no small-trailing-dim intermediates anywhere.
+TPU layout notes (measured on v5e with HONEST host-readback timing — the
+tunneled runtime's ``block_until_ready`` returns early, so any number taken
+without a readback is garbage; see exp/gather_bench4.py):
+
+  * element gathers (feature-major ``(F,T)[:, idx]``) cost ~5.6 ns/access —
+    each 4 B value pays a full HBM transaction.
+  * **row gathers**: storing the table as ``(S, 128)`` rows (128 lanes = one
+    f32 tile line, 512 B contiguous) and gathering whole rows costs
+    ~2.4 ns/access *including* the in-register one-hot lane select. 2.3x
+    faster, and the (M,128) intermediate fuses into the select-reduce so it
+    never hits HBM.
+  * backward: ~8-11 ns/access for unsorted scatter-add; pre-sorting is a
+    LOSS (lax.sort is ~42 ns/el honest). Row scatter-add ``(S,128).at[rows]
+    .add(masked)`` delivers all F features per access, beating F separate
+    element scatters for F>=2.
+
+Layout: per level, entries are packed ``entries_per_row = 128 //
+features_per_level`` to a row; entry ``e`` of level ``l`` lives at
+``table[l, e // epr, (e % epr) * F + f]``.
 
 Hash function: XOR of coordinate-wise products with primes
 (1, 2654435761, 805459861) — the Instant-NGP spatial hash (paper eq. 4;
@@ -33,43 +41,6 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861)
 
 
-@jax.custom_vjp
-def _gather_columns(table_t: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Feature-major column gather with a sort-accelerated backward.
-
-    Forward: tableT (F, T)[:, idx (M,)] -> (F, M).
-    Backward: dL/dtableT is a scatter-add of M columns. XLA's unsorted TPU
-    scatter runs at ~65 ns/element; with indices pre-sorted it runs ~6x
-    faster (~10 ns) — so the VJP sorts (idx, grads) once (lax.sort, ~3 ns/el)
-    and scatters with ``indices_are_sorted=True``. Measured ~3-5x faster
-    whole-step backward on v5e."""
-    return table_t[:, idx]
-
-
-def _gather_columns_fwd(table_t, idx):
-    return table_t[:, idx], (table_t.shape, idx)
-
-
-def _gather_columns_bwd(res, g):
-    (f, t), idx = res
-    # sort indices together with all F gradient rows, then scatter each
-    # feature row SEPARATELY as a 1D sorted scatter — measured on v5e:
-    # (F,T) column-scatter 64 ns/el, 1D sorted row-scatter 9 ns/el.
-    operands = (idx,) + tuple(g[i] for i in range(g.shape[0]))
-    sorted_ops = jax.lax.sort(operands, num_keys=1)
-    idx_sorted = sorted_ops[0]
-    rows = [
-        jnp.zeros((t,), g.dtype).at[idx_sorted].add(
-            gs, indices_are_sorted=True, unique_indices=False
-        )
-        for gs in sorted_ops[1:]
-    ]
-    return jnp.stack(rows, axis=0), None
-
-
-_gather_columns.defvjp(_gather_columns_fwd, _gather_columns_bwd)
-
-
 def compute_level_resolutions(num_levels: int, min_res: int, max_res: int) -> np.ndarray:
     """Geometric growth factor exp((ln max - ln min)/(L-1)) (reference :341)."""
     if num_levels > 1:
@@ -79,7 +50,62 @@ def compute_level_resolutions(num_levels: int, min_res: int, max_res: int) -> np
     return np.floor(min_res * growth ** np.arange(num_levels)).astype(np.int64)
 
 
-@functools.partial(jax.jit, static_argnames=("num_levels", "min_res", "max_res", "hash_table_size"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _row_gather_select(table_l: jnp.ndarray, rows: jnp.ndarray, slot: jnp.ndarray, f: int):
+    """Gather entry features from a row-packed level table.
+
+    table_l: (S, 128); rows/slot: (M,) int32. Returns (M, f) float32.
+    Forward = whole-row gather (contiguous 512 B) + one-hot lane select;
+    backward = unsorted row scatter-add of the one-hot-masked gradient."""
+    vals = table_l[rows].astype(jnp.float32)  # (M, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    entry_of_lane = lane // f
+    feat_of_lane = lane % f
+    sel = (entry_of_lane == slot[:, None]).astype(jnp.float32) * vals  # (M, 128)
+    outs = [
+        jnp.sum(jnp.where(feat_of_lane == i, sel, 0.0), axis=-1) for i in range(f)
+    ]
+    return jnp.stack(outs, axis=-1)  # (M, f)
+
+
+def _row_gather_select_fwd(table_l, rows, slot, f):
+    # dtype/shape carrier: an empty lane slice keeps residuals as JAX types
+    # while preserving the static row count and dtype
+    proto = jax.lax.slice_in_dim(table_l, 0, 0, axis=1)  # (S, 0)
+    return _row_gather_select(table_l, rows, slot, f), (proto, rows, slot)
+
+
+def _row_gather_select_bwd(f, res, g):
+    proto, rows, slot = res
+    s, lanes, dtype = proto.shape[0], 128, proto.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    entry_of_lane = lane // f
+    feat_of_lane = lane % f
+    # g: (M, f) -> expand to (M, 128) rows with the gradient in the entry's
+    # lanes. Static select per feature (a lane-wise take_along_axis here
+    # crashes XLA's TPU fusion emitter: GatherType != kSublaneGather).
+    in_entry = entry_of_lane == slot[:, None]
+    masked = jnp.zeros((g.shape[0], 128), jnp.float32)
+    for i in range(f):
+        masked = jnp.where(in_entry & (feat_of_lane == i), g[:, i : i + 1], masked)
+    dtab = jnp.zeros((s, lanes), jnp.float32).at[rows].add(masked)
+    return dtab.astype(dtype), None, None
+
+
+_row_gather_select.defvjp(_row_gather_select_fwd, _row_gather_select_bwd)
+
+
+def _hash_corner(cx, cy, cz, hash_table_size):
+    cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+    cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+    cu_z = cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+    return ((cu_x ^ cu_y ^ cu_z) % jnp.uint32(hash_table_size)).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_levels", "min_res", "max_res", "hash_table_size"),
+)
 def hash_encode(
     positions: jnp.ndarray,
     table: jnp.ndarray,
@@ -91,74 +117,66 @@ def hash_encode(
 ) -> jnp.ndarray:
     """Encode positions in [0,1]^3.
 
-    positions: (..., 3); table: (num_levels * hash_table_size, F).
-    Returns (..., num_levels * F).
-    """
-    features_per_level = table.shape[-1]
+    positions: (..., 3); table: (num_levels, S, 128) row-packed
+    (see init_hash_table). Returns (..., num_levels * F) float32, channel
+    order out[..., l*F + f] (matches tcnn/reference)."""
+    L, S, lanes = table.shape
+    assert L == num_levels and lanes == 128
+    # recover F from S: S = T // (128 // F)  =>  F = 128 * S // T
+    features_per_level = 128 * S // hash_table_size
+    epr = 128 // features_per_level
+
     batch_shape = positions.shape[:-1]
     n = int(np.prod(batch_shape)) if batch_shape else 1
     pos = positions.reshape(n, 3)
-    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]  # flat (N,) vectors
+    x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
 
     resolutions = compute_level_resolutions(num_levels, min_res, max_res)
-    table_t = table.T  # (F, L*T) feature-major
 
-    # fully vectorized over (L, N): the level dim rides the sublane axis, N
-    # rides lanes — small HLO, one pass of VPU ops instead of L*8 unrolled
-    L = num_levels
-    scales = jnp.asarray(resolutions, jnp.float32)[:, None]  # (L, 1)
-    dense_mask_np = (resolutions + 1) ** 3 <= hash_table_size  # (L,) static
-    sides = jnp.asarray(resolutions + 1, jnp.int32)[:, None]  # (L, 1)
-    level_offsets = (jnp.arange(L, dtype=jnp.int32) * hash_table_size)[:, None]
+    level_outputs = []
+    for l in range(L):
+        res = int(resolutions[l])
+        side = res + 1
+        dense = side**3 <= hash_table_size
+        sx, sy, sz = x * res, y * res, z * res
+        fx, fy, fz = jnp.floor(sx), jnp.floor(sy), jnp.floor(sz)
+        ox, oy, oz = sx - fx, sy - fy, sz - fz
+        ix0 = fx.astype(jnp.int32)
+        iy0 = fy.astype(jnp.int32)
+        iz0 = fz.astype(jnp.int32)
 
-    sx = x[None, :] * scales  # (L, N)
-    sy = y[None, :] * scales
-    sz = z[None, :] * scales
-    fx, fy, fz = jnp.floor(sx), jnp.floor(sy), jnp.floor(sz)
-    ox, oy, oz = sx - fx, sy - fy, sz - fz
-    ix0, iy0, iz0 = fx.astype(jnp.int32), fy.astype(jnp.int32), fz.astype(jnp.int32)
+        idx_parts, w_parts = [], []
+        for corner in range(8):
+            dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+            cx, cy, cz = ix0 + dx, iy0 + dy, iz0 + dz
+            if dense:
+                cxc = jnp.clip(cx, 0, side - 1)
+                cyc = jnp.clip(cy, 0, side - 1)
+                czc = jnp.clip(cz, 0, side - 1)
+                idx = (cxc * side + cyc) * side + czc
+            else:
+                idx = _hash_corner(cx, cy, cz, hash_table_size)
+            idx_parts.append(idx)
+            w = (
+                (ox if dx else 1.0 - ox)
+                * (oy if dy else 1.0 - oy)
+                * (oz if dz else 1.0 - oz)
+            )
+            w_parts.append(w)
 
-    idx_parts = []
-    w_parts = []
-    any_dense = bool(dense_mask_np.any())
-    dense_mask = jnp.asarray(dense_mask_np)[:, None]  # (L, 1)
-    for corner in range(8):
-        dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
-        cx, cy, cz = ix0 + dx, iy0 + dy, iz0 + dz  # (L, N)
-        cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
-        cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
-        cu_z = cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
-        hashed = ((cu_x ^ cu_y ^ cu_z) % jnp.uint32(hash_table_size)).astype(jnp.int32)
-        if any_dense:
-            cxc = jnp.clip(cx, 0, sides - 1)
-            cyc = jnp.clip(cy, 0, sides - 1)
-            czc = jnp.clip(cz, 0, sides - 1)
-            dense_idx = (cxc * sides + cyc) * sides + czc
-            idx = jnp.where(dense_mask, dense_idx, hashed)
-        else:
-            idx = hashed
-        idx_parts.append(idx + level_offsets)  # (L, N)
-        w = (
-            (ox if dx else 1.0 - ox)
-            * (oy if dy else 1.0 - oy)
-            * (oz if dz else 1.0 - oz)
-        )
-        w_parts.append(w)
+        idx8 = jnp.concatenate(idx_parts)  # (8n,)
+        w8 = jnp.concatenate(w_parts)  # (8n,)
+        feats = _row_gather_select(
+            table[l], idx8 // epr, idx8 % epr, features_per_level
+        )  # (8n, F)
+        weighted = feats * w8[:, None]
+        acc = weighted[:n]
+        for corner in range(1, 8):
+            acc = acc + weighted[corner * n : (corner + 1) * n]
+        level_outputs.append(acc)  # (n, F)
 
-    idx_all = jnp.stack(idx_parts, axis=0).reshape(-1)  # (8*L*N,) [corner][level][n]
-    w_all = jnp.stack(w_parts, axis=0).reshape(-1)
-
-    cols = _gather_columns(table_t, idx_all)  # (F, 8*L*N) — THE gather
-    weighted = cols * w_all[None, :]
-
-    # corner reduction: 8 static slices of (F, L*N) summed
-    ln = L * n
-    acc = weighted[:, :ln]
-    for corner in range(1, 8):
-        acc = acc + weighted[:, corner * ln : (corner + 1) * ln]
-    # (F, L, N) -> (N, L*F) with channel order out[..., l*F + f]
-    out = acc.reshape(features_per_level, L, n)
-    out = jnp.transpose(out, (2, 1, 0)).reshape(n, L * features_per_level)
+    out = jnp.stack(level_outputs, axis=1)  # (n, L, F)
+    out = out.reshape(n, L * features_per_level)
     return out.reshape(batch_shape + (num_levels * features_per_level,))
 
 
@@ -170,10 +188,19 @@ def init_hash_table(
     scale: float = 1e-4,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Uniform(-scale, scale) init (reference encodings.py:352-356)."""
+    """Uniform(-scale, scale) init (reference encodings.py:352-356).
+
+    Returns the row-packed layout (L, S, 128) with
+    S = hash_table_size // (128 // features_per_level)."""
+    assert 128 % features_per_level == 0
+    epr = 128 // features_per_level
+    assert hash_table_size % epr == 0, (
+        f"hash_table_size {hash_table_size} must be divisible by {epr}"
+    )
+    s = hash_table_size // epr
     return jax.random.uniform(
         key,
-        (num_levels * hash_table_size, features_per_level),
+        (num_levels, s, 128),
         minval=-scale,
         maxval=scale,
         dtype=dtype,

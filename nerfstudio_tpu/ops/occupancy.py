@@ -64,22 +64,37 @@ def update_occupancy_grid(
     occ_thre: float = 0.01,
     ema_decay: float = 0.95,
     warmup: bool = False,
+    cells_per_update: Optional[int] = None,
 ) -> OccupancyGridState:
-    """EMA-update all cells with densities at jittered cell centers
+    """EMA-update cells with densities at jittered cell centers
     (nerfacc ``update_every_n_steps`` semantics: occs = max(occs*decay, new);
-    binary = occs > min(mean(occs), occ_thre))."""
+    binary = occs > min(mean(occs), occ_thre)).
+
+    ``cells_per_update`` bounds the field evals per update to a uniform
+    random cell subset (nerfacc samples cells the same way) — a full 128^3
+    refresh costs ~134M hash accesses, which would dominate the train step."""
     res = grid.resolution
     n = res**3
-    idx = jnp.arange(n, dtype=jnp.int32)
+    k_idx, k_jit = jax.random.split(key)
+    if cells_per_update is not None and cells_per_update < n:
+        idx = jax.random.randint(k_idx, (cells_per_update,), 0, n, jnp.int32)
+    else:
+        idx = jnp.arange(n, dtype=jnp.int32)
     k = idx // (res * res)
     j = (idx // res) % res
     i = idx % res
     ijk = jnp.stack([k, j, i], axis=-1).astype(jnp.float32)  # matches _cell_indices order
-    jitter = jax.random.uniform(key, (n, 3))
+    jitter = jax.random.uniform(k_jit, (idx.shape[0], 3))
     unit = (ijk + jitter) / res
     positions = grid.aabb[0] + unit * (grid.aabb[1] - grid.aabb[0])
     new_d = density_fn(positions)[..., 0]
-    densities = jnp.maximum(grid.densities * ema_decay, new_d)
+    if idx.shape[0] == n:
+        densities = jnp.maximum(grid.densities * ema_decay, new_d)
+    else:
+        # nerfacc semantics: only sampled cells decay+refresh
+        densities = grid.densities.at[idx].set(
+            jnp.maximum(grid.densities[idx] * ema_decay, new_d)
+        )
     thresh = jnp.minimum(jnp.mean(densities), occ_thre)
     binary = densities > thresh
     if warmup:

@@ -63,7 +63,7 @@ def build_pipeline(
         loss_coefficients=config.model.loss_coefficients if hasattr(config.model, "loss_coefficients") else None,
     )
     if hasattr(ModelCls, "init_aux"):
-        pipeline.init_aux = lambda: ModelCls.init_aux(config.model)
+        pipeline.init_aux = lambda: ModelCls.init_aux(model_train, config.model)
     if hasattr(ModelCls, "make_aux_update_fn"):
         pipeline.aux_update_fn = ModelCls.make_aux_update_fn(model_train, config.model)
     key = jax.random.PRNGKey(config.seed)

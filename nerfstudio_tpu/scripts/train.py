@@ -29,7 +29,16 @@ def main(argv=None) -> None:
         return
     method = argv[0]
     config = get_method(method)
-    rest = apply_overrides(config, argv[1:])
+    # dataparser switch: `nst-train METHOD --dataparser blender-data ...`
+    # (reference: tyro dataparser subcommand union)
+    argv = argv[1:]
+    if "--dataparser" in argv:
+        i = argv.index("--dataparser")
+        from nerfstudio_tpu.data.dataparsers.registry import get_dataparser_config
+
+        config.dataparser = get_dataparser_config(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    rest = apply_overrides(config, argv)
     if rest and rest[0] in ("-h", "--help"):
         print("\n".join(describe(config)))
         return

@@ -1,0 +1,199 @@
+"""Generate a ray-traced multiview dataset (Blender transforms format).
+
+Stand-in for a real capture in the offline build environment: a procedural
+scene (checkerboard ground plane + textured/shaded spheres, one point light
+with hard shadows) rendered with a tiny numpy ray tracer. Multi-view
+consistent real geometry — meaningful for convergence gates (PSNR/SSIM on
+held-out views), unlike random-pixel fixtures.
+
+Usage: python tools/make_synthetic_dataset.py OUT_DIR [--hw 256] [--n-train 80] [--n-test 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+SPHERES = [
+    # center, radius, base color, checker second color (None = solid)
+    (np.array([0.0, 0.0, 0.35]), 0.35, np.array([0.85, 0.25, 0.2]), None),
+    (np.array([0.55, 0.35, 0.18]), 0.18, np.array([0.2, 0.45, 0.85]), np.array([0.9, 0.9, 0.2])),
+    (np.array([-0.5, 0.3, 0.22]), 0.22, np.array([0.2, 0.8, 0.35]), None),
+    (np.array([0.1, -0.55, 0.15]), 0.15, np.array([0.9, 0.7, 0.15]), np.array([0.4, 0.1, 0.5])),
+]
+LIGHT = np.array([1.5, -1.0, 2.5])
+GROUND_Z = 0.0
+PLANE_R = 1.1  # ground disc radius
+
+
+def write_png(path: Path, img_u8: np.ndarray) -> None:
+    """Minimal RGB(A) PNG writer (no PIL dependency needed)."""
+    h, w, c = img_u8.shape
+    color_type = 6 if c == 4 else 2
+    raw = b"".join(b"\x00" + img_u8[i].tobytes() for i in range(h))
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    path.write_bytes(png)
+
+
+def look_at(position: np.ndarray, target=np.zeros(3)) -> np.ndarray:
+    fwd = position - target
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = np.cross(fwd, right)
+    c2w[:3, 2] = fwd
+    c2w[:3, 3] = position
+    return c2w
+
+
+def _sphere_hit(o, d, center, radius):
+    oc = o - center
+    b = np.sum(d * oc, axis=-1)
+    c = np.sum(oc * oc, axis=-1) - radius**2
+    disc = b * b - c
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    return np.where((disc > 0) & (t > 1e-4), t, np.inf)
+
+
+def _shadowed(p):
+    """Point-light hard shadow: does the segment p->LIGHT hit any sphere?"""
+    d = LIGHT - p
+    dist = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / dist
+    sh = np.zeros(p.shape[:-1], bool)
+    for center, radius, _, _ in SPHERES:
+        t = _sphere_hit(p + 1e-4 * d, d, center, radius)
+        sh |= t < dist[..., 0]
+    return sh
+
+
+def render(c2w: np.ndarray, hw: int, focal: float) -> np.ndarray:
+    ys, xs = np.mgrid[0:hw, 0:hw]
+    dirs_cam = np.stack(
+        [
+            (xs + 0.5 - hw / 2) / focal,
+            -(ys + 0.5 - hw / 2) / focal,
+            -np.ones_like(xs, float),
+        ],
+        axis=-1,
+    )
+    d = dirs_cam @ c2w[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(c2w[:3, 3], d.shape)
+
+    t_best = np.full(d.shape[:-1], np.inf)
+    color = np.zeros(d.shape)
+    normal = np.zeros(d.shape)
+    hit_kind = np.full(d.shape[:-1], -1)
+
+    for si, (center, radius, col, col2) in enumerate(SPHERES):
+        t = _sphere_hit(o, d, center, radius)
+        closer = t < t_best
+        t_best = np.where(closer, t, t_best)
+        hit_kind = np.where(closer, si, hit_kind)
+
+    # ground plane z=0 disc
+    dz = d[..., 2]
+    t_pl = np.where(np.abs(dz) > 1e-6, (GROUND_Z - o[..., 2]) / dz, np.inf)
+    p_pl = o + d * t_pl[..., None]
+    in_disc = (t_pl > 1e-4) & (np.linalg.norm(p_pl[..., :2], axis=-1) < PLANE_R)
+    t_pl = np.where(in_disc, t_pl, np.inf)
+    closer = t_pl < t_best
+    t_best = np.where(closer, t_pl, t_best)
+    hit_kind = np.where(closer, 99, hit_kind)
+
+    hit = np.isfinite(t_best)
+    p = o + d * np.where(hit, t_best, 0.0)[..., None]
+
+    # shading
+    for si, (center, radius, col, col2) in enumerate(SPHERES):
+        m = hit_kind == si
+        n = (p - center) / radius
+        if col2 is not None:
+            u = np.floor(4 * np.arctan2(n[..., 1], n[..., 0]) / np.pi)
+            v = np.floor(6 * np.arccos(np.clip(n[..., 2], -1, 1)) / np.pi)
+            checker = ((u + v) % 2).astype(bool)
+            base = np.where(checker[..., None], col2, col)
+        else:
+            base = np.broadcast_to(col, p.shape)
+        normal = np.where(m[..., None], n, normal)
+        color = np.where(m[..., None], base, color)
+
+    m = hit_kind == 99
+    checker = ((np.floor(p[..., 0] * 4) + np.floor(p[..., 1] * 4)) % 2).astype(bool)
+    plane_col = np.where(checker[..., None], np.array([0.85, 0.85, 0.85]), np.array([0.35, 0.35, 0.4]))
+    color = np.where(m[..., None], plane_col, color)
+    normal = np.where(m[..., None], np.array([0.0, 0.0, 1.0]), normal)
+
+    ldir = LIGHT - p
+    ldir /= np.maximum(np.linalg.norm(ldir, axis=-1, keepdims=True), 1e-8)
+    lam = np.clip(np.sum(normal * ldir, axis=-1), 0, 1)
+    shadow = _shadowed(p)
+    shade = 0.25 + 0.75 * lam * (~shadow)
+    rgb = np.clip(color * shade[..., None], 0, 1)
+    rgb = np.where(hit[..., None], rgb, 1.0)  # white background
+    alpha = hit.astype(float)
+    return (np.concatenate([rgb, alpha[..., None]], axis=-1) * 255).astype(np.uint8)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", type=Path)
+    ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument("--n-train", type=int, default=80)
+    ap.add_argument("--n-test", type=int, default=10)
+    ap.add_argument("--radius", type=float, default=2.6)
+    args = ap.parse_args()
+
+    focal = args.hw * 1.1
+    rng = np.random.default_rng(7)
+
+    for split, n, seed_off in [("train", args.n_train, 0), ("val", args.n_test, 1), ("test", args.n_test, 2)]:
+        frames = []
+        (args.out / split).mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            if split == "train":
+                theta = 2 * np.pi * i / n + rng.uniform(-0.03, 0.03)
+                phi = np.deg2rad(rng.uniform(25, 60))
+            else:
+                theta = 2 * np.pi * (i + 0.5 + seed_off * 0.17) / n
+                phi = np.deg2rad(30 + 25 * ((i + seed_off) % 3) / 2)
+            pos = args.radius * np.array(
+                [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)]
+            )
+            c2w = look_at(pos)
+            img = render(c2w, args.hw, focal)
+            name = f"./{split}/r_{i}"
+            write_png(args.out / split / f"r_{i}.png", img)
+            frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+        meta = {"camera_angle_x": 2 * np.arctan(args.hw / (2 * focal)), "frames": frames}
+        with open(args.out / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+    print(f"wrote {args.out} ({args.n_train} train / {args.n_test} val+test @ {args.hw}px)")
+
+
+if __name__ == "__main__":
+    main()
