@@ -204,7 +204,13 @@ method_configs["splatfacto-mcmc"] = MethodConfig(
     trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500, steps_per_save=2000),
     datamanager=DataManagerConfig(),
     dataparser=NerfstudioDataParserConfig(load_3D_points=True),
-    model=SplatfactoModelConfig(),  # MCMC strategy selected in splat pipeline (round 2)
+    # gsplat MCMCStrategy semantics: relocation + growth toward cap_max +
+    # per-step position noise + opacity/scale regularizers
+    model=SplatfactoModelConfig(
+        strategy="mcmc",
+        cull_alpha_thresh=0.005,
+        max_gaussians=1000000,
+    ),
     optimizers={},
 )
 

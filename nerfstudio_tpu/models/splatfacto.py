@@ -56,6 +56,14 @@ class SplatfactoModelConfig(ModelConfig):
     use_scale_regularization: bool = False
     max_gauss_ratio: float = 10.0
     rasterize_mode: Literal["classic", "antialiased"] = "classic"
+    # densification strategy (reference splatfacto.py:262-295 selects gsplat
+    # DefaultStrategy or MCMCStrategy)
+    strategy: Literal["default", "mcmc"] = "default"
+    mcmc_noise_lr: float = 5e5
+    mcmc_opacity_reg: float = 0.01
+    mcmc_scale_reg: float = 0.01
+    mcmc_min_opacity: float = 0.005
+    mcmc_grow_factor: float = 1.05
     random_init: bool = False
     num_random: int = 50000
     random_scale: float = 10.0
@@ -241,6 +249,18 @@ class SplatfactoModel:
             ) * 0.1
             loss_dict["scale_reg"] = scale_reg
             loss = loss + scale_reg
+        if cfg.strategy == "mcmc":
+            # MCMC regularizers (reference splatfacto get_loss_dict mcmc branch)
+            n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+            op_reg = cfg.mcmc_opacity_reg * jnp.sum(
+                jnp.where(alive, jax.nn.sigmoid(params["opacities"][:, 0]), 0.0)
+            ) / n_alive
+            sc_reg = cfg.mcmc_scale_reg * jnp.sum(
+                jnp.where(alive[:, None], jnp.exp(params["scales"]), 0.0)
+            ) / (3.0 * n_alive)
+            loss_dict["mcmc_opacity_reg"] = op_reg
+            loss_dict["mcmc_scale_reg"] = sc_reg
+            loss = loss + op_reg + sc_reg
         loss_dict["loss"] = loss
         loss_dict["gt"] = gt
         return loss, loss_dict
@@ -370,6 +390,162 @@ class SplatfactoModel:
             max_radii=jnp.zeros_like(aux.max_radii),
         )
         return new_params, new_opt_state, new_aux
+
+    # ------------------------------------------------------------------
+    # MCMC strategy (gsplat MCMCStrategy; "3D Gaussian Splatting as MCMC",
+    # Kheradmand et al. 2024 — reference splatfacto.py:262-295 selects it
+    # for the splatfacto-mcmc method)
+    # ------------------------------------------------------------------
+
+    _MCMC_N_MAX = 51  # gsplat's binomial table bound
+
+    @staticmethod
+    def _relocation(opac_old, scales_old, ratios):
+        """gsplat compute_relocation: splitting a gaussian into N copies.
+
+        new_opacity = 1 - (1-o)^(1/N); new_scale = scale * o / denom with
+        denom = sum_{i=1..N} sum_{k=0..i-1} C(i-1,k) (-1)^k/sqrt(k+1) o_new^(k+1).
+        ratios: (M,) int in [1, N_MAX]."""
+        n_max = SplatfactoModel._MCMC_N_MAX
+        ratios = jnp.clip(ratios, 1, n_max)
+        o_new = 1.0 - jnp.power(
+            jnp.clip(1.0 - opac_old, 1e-7, 1.0), 1.0 / ratios.astype(jnp.float32)
+        )
+        # static binomial table C(i-1, k) for i in [1, n_max], k in [0, i-1]
+        from math import comb
+
+        binoms = np.zeros((n_max, n_max), np.float32)
+        for i in range(n_max):
+            for k in range(i + 1):
+                binoms[i, k] = comb(i, k)
+        binoms = jnp.asarray(binoms)
+        ks = jnp.arange(n_max, dtype=jnp.float32)  # k = 0..n_max-1
+        # term(k) = (-1)^k / sqrt(k+1) * o_new^(k+1)
+        term = ((-1.0) ** ks) / jnp.sqrt(ks + 1.0) * jnp.power(
+            o_new[:, None], ks[None, :] + 1.0
+        )  # (M, n_max)
+        # inner(i) = sum_k<=i-1 C(i-1,k) term(k); denom = sum_{i<=N} inner(i)
+        inner = term @ binoms.T  # (M, n_max) where inner[:, i-1] uses row i-1
+        i_idx = jnp.arange(1, n_max + 1)
+        denom = jnp.sum(
+            jnp.where(i_idx[None, :] <= ratios[:, None], inner, 0.0), axis=-1
+        )
+        coeff = opac_old / jnp.maximum(denom, 1e-8)
+        new_scales = scales_old + jnp.log(jnp.maximum(coeff, 1e-8))[:, None]  # log-space
+        return o_new, new_scales
+
+    def refine_mcmc(
+        self,
+        params: Dict[str, jnp.ndarray],
+        opt_state,
+        aux: SplatAux,
+        key: jax.Array,
+    ):
+        """One MCMC refine: relocate dead gaussians + grow toward capacity.
+
+        Sources are sampled proportionally to opacity among the live set;
+        relocation follows the MCMC split equations; Adam moments of every
+        rewritten slot (sources included) are zeroed (gsplat resets the
+        relocated rows' optimizer state)."""
+        cfg = self.config
+        n_cap = cfg.max_gaussians
+        m = cfg.max_refine_new
+
+        opac = jax.nn.sigmoid(params["opacities"][:, 0])
+        dead = aux.alive & (opac < cfg.mcmc_min_opacity)
+        live = aux.alive & (~dead)
+        n_live = jnp.sum(live)
+
+        # how many slots to (re)write: all dead + growth toward cap
+        n_grow = jnp.minimum(
+            (n_live * (cfg.mcmc_grow_factor - 1.0)).astype(jnp.int32),
+            jnp.int32(m),
+        )
+        n_write_target = jnp.minimum(jnp.sum(dead) + n_grow, jnp.int32(m))
+
+        # destination slots: dead first, then free padding
+        dst_score = jnp.where(dead, 2.0, jnp.where(~aux.alive, 1.0, 0.0))
+        dst_score_top, dst = jax.lax.top_k(dst_score, m)
+        rank = jnp.arange(m)
+        write_ok = (dst_score_top > 0.0) & (rank < n_write_target)
+
+        # sources ~ categorical(opacity) over the live set
+        logits = jnp.where(live, jnp.log(jnp.maximum(opac, 1e-8)), -1e9)
+        k_src, k_dst = jax.random.split(key)
+        src = jax.random.categorical(k_src, logits, shape=(m,))
+
+        # per-source copy counts (source keeps one) -> ratio N = count + 1
+        ones = jnp.where(write_ok, 1, 0)
+        counts = jnp.zeros((n_cap,), jnp.int32).at[src].add(ones)
+        ratios = counts[src] + 1  # (m,)
+        o_new, s_new = self._relocation(opac[src], params["scales"][src], ratios)
+        opac_logit_new = jnp.log(o_new / jnp.maximum(1.0 - o_new, 1e-7))[:, None]
+
+        new_params = dict(params)
+
+        def write(dst_arr, new_vals):
+            vals = jnp.where(
+                write_ok.reshape((m,) + (1,) * (new_vals.ndim - 1)),
+                new_vals,
+                dst_arr[dst],
+            )
+            return dst_arr.at[dst].set(vals)
+
+        new_params["means"] = write(params["means"], params["means"][src])
+        new_params["quats"] = write(params["quats"], params["quats"][src])
+        new_params["features_dc"] = write(params["features_dc"], params["features_dc"][src])
+        new_params["features_rest"] = write(
+            params["features_rest"], params["features_rest"][src]
+        )
+        new_params["scales"] = write(params["scales"], s_new)
+        new_params["opacities"] = write(params["opacities"], opac_logit_new)
+        # sources that actually spawned copies get the relocated opacity/scale
+        src_touched = write_ok & (counts[src] > 0)
+        new_params["scales"] = new_params["scales"].at[src].set(
+            jnp.where(src_touched[:, None], s_new, new_params["scales"][src])
+        )
+        new_params["opacities"] = new_params["opacities"].at[src].set(
+            jnp.where(src_touched[:, None], opac_logit_new, new_params["opacities"][src])
+        )
+
+        alive = aux.alive | jnp.zeros_like(aux.alive).at[dst].set(write_ok)
+
+        touched = jnp.zeros((n_cap,), bool).at[dst].set(write_ok)
+        touched = touched.at[src].set(touched[src] | src_touched)
+
+        def zero_touched(leaf):
+            if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == n_cap:
+                mask = touched.reshape((n_cap,) + (1,) * (leaf.ndim - 1))
+                return jnp.where(mask, 0.0, leaf).astype(leaf.dtype)
+            return leaf
+
+        new_opt_state = jax.tree_util.tree_map(zero_touched, opt_state)
+        new_aux = SplatAux(
+            alive=alive,
+            grad_accum=jnp.zeros_like(aux.grad_accum),
+            grad_count=jnp.zeros_like(aux.grad_count),
+            max_radii=jnp.zeros_like(aux.max_radii),
+        )
+        return new_params, new_opt_state, new_aux
+
+    def mcmc_noise(
+        self, params: Dict[str, jnp.ndarray], alive, key: jax.Array, means_lr
+    ) -> jnp.ndarray:
+        """Per-step SGLD-style position noise (gsplat MCMCStrategy._add_noise):
+        means += lr * noise_lr * gate(1-opacity) * (R S^2 R^T) @ eps."""
+        from nerfstudio_tpu.ops.gsplat.projection import quat_to_rotmat
+
+        cfg = self.config
+        opac = jax.nn.sigmoid(params["opacities"][:, 0])
+        # gsplat: sigmoid(k((1-o) - x0)) with k=100, x0=0.995 — ~1 only for
+        # near-transparent gaussians (o < ~0.005)
+        gate = jax.nn.sigmoid(100.0 * ((1.0 - opac) - 0.995))
+        eps = jax.random.normal(key, params["means"].shape)
+        R = quat_to_rotmat(params["quats"])
+        s2 = jnp.exp(params["scales"]) ** 2
+        cov_eps = jnp.einsum("nij,nj->ni", R, s2 * jnp.einsum("nji,nj->ni", R, eps))
+        noise = cov_eps * (gate * alive)[:, None] * means_lr * cfg.mcmc_noise_lr
+        return params["means"] + noise
 
     # ------------------------------------------------------------------
     def sh_degree_at(self, step: int) -> int:

@@ -33,11 +33,15 @@ class SplatTrainState:
     step: jnp.ndarray
 
 
-def build_splat_optimizers(config: SplatfactoModelConfig, max_steps: int = 30000):
-    """Per-array LRs (reference configs/method_configs.py splatfacto entry)."""
-    means_sched = optax.exponential_decay(
+def means_lr_schedule(max_steps: int = 30000):
+    return optax.exponential_decay(
         1.6e-4, transition_steps=max_steps, decay_rate=1.6e-6 / 1.6e-4
     )
+
+
+def build_splat_optimizers(config: SplatfactoModelConfig, max_steps: int = 30000):
+    """Per-array LRs (reference configs/method_configs.py splatfacto entry)."""
+    means_sched = means_lr_schedule(max_steps)
     txs = {
         "means": optax.adam(means_sched, eps=1e-15),
         "features_dc": optax.adam(0.0025, eps=1e-15),
@@ -59,6 +63,7 @@ class SplatPipeline:
         self.datamanager = datamanager
         self.model = model
         self.tx = build_splat_optimizers(model.config, max_steps)
+        self._means_lr = means_lr_schedule(max_steps)
         self._train_step = None
         self._refine = None
 
@@ -88,8 +93,9 @@ class SplatPipeline:
             width: int,
             height: int,
             sh_degree: int,
+            means_lr: float = 0.0,
         ):
-            k_bg, _ = jax.random.split(key)
+            k_bg, k_noise = jax.random.split(key)
             n_cap = model.config.max_gaussians
             probe = jnp.zeros((n_cap, 2))
 
@@ -108,6 +114,12 @@ class SplatPipeline:
 
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if model.config.strategy == "mcmc":
+                # SGLD-style per-step position noise (gsplat MCMCStrategy)
+                new_params = dict(new_params)
+                new_params["means"] = model.mcmc_noise(
+                    new_params, state.aux.alive, k_noise, means_lr
+                )
 
             # densification stats (gsplat DefaultStrategy 'info' analog):
             # screen-gradient norm scaled to pixel units (reference absgrad)
@@ -138,17 +150,30 @@ class SplatPipeline:
     def build_refine(self):
         model = self.model
 
-        @functools.partial(
-            jax.jit, static_argnames=("do_split", "do_cull_scale", "reset_alpha")
-        )
-        def refine(state: SplatTrainState, key, do_split, do_cull_scale, reset_alpha):
-            params, opt_state, aux = model.refine(
-                state.params, state.opt_state, state.aux, key,
-                do_split=do_split, do_cull_scale=do_cull_scale, reset_alpha=reset_alpha,
+        if model.config.strategy == "mcmc":
+
+            @jax.jit
+            def refine(state: SplatTrainState, key, **_):
+                params, opt_state, aux = model.refine_mcmc(
+                    state.params, state.opt_state, state.aux, key
+                )
+                return SplatTrainState(
+                    params=params, opt_state=opt_state, aux=aux, step=state.step
+                )
+
+        else:
+
+            @functools.partial(
+                jax.jit, static_argnames=("do_split", "do_cull_scale", "reset_alpha")
             )
-            return SplatTrainState(
-                params=params, opt_state=opt_state, aux=aux, step=state.step
-            )
+            def refine(state: SplatTrainState, key, do_split, do_cull_scale, reset_alpha):
+                params, opt_state, aux = model.refine(
+                    state.params, state.opt_state, state.aux, key,
+                    do_split=do_split, do_cull_scale=do_cull_scale, reset_alpha=reset_alpha,
+                )
+                return SplatTrainState(
+                    params=params, opt_state=opt_state, aux=aux, step=state.step
+                )
 
         self._refine = refine
         return refine
@@ -186,6 +211,7 @@ class SplatPipeline:
             state, metrics = self._train_step(
                 state, c2w, jnp.stack([fx, fy, cx, cy]), image, k,
                 width=w, height=h, sh_degree=self.model.sh_degree_at(step),
+                means_lr=float(self._means_lr(step)),
             )
             if writer is not None and step % log_every == 0:
                 writer.put_dict("train", {k2: float(v) for k2, v in metrics.items()}, step)
@@ -195,14 +221,18 @@ class SplatPipeline:
                 and step % cfg.refine_every == 0
             ):
                 key, k = jax.random.split(key)
-                reset_period = cfg.reset_alpha_every * cfg.refine_every
-                do_reset = (step % reset_period) == 0 and step < cfg.stop_split_at
-                state = self._refine(
-                    state, k,
-                    do_split=step < cfg.stop_split_at,
-                    do_cull_scale=step > reset_period,
-                    reset_alpha=do_reset,
-                )
+                if cfg.strategy == "mcmc":
+                    if step < cfg.stop_split_at:
+                        state = self._refine(state, k)
+                else:
+                    reset_period = cfg.reset_alpha_every * cfg.refine_every
+                    do_reset = (step % reset_period) == 0 and step < cfg.stop_split_at
+                    state = self._refine(
+                        state, k,
+                        do_split=step < cfg.stop_split_at,
+                        do_cull_scale=step > reset_period,
+                        reset_alpha=do_reset,
+                    )
         return state
 
     # ------------------------------------------------------------------
