@@ -328,6 +328,53 @@ method_configs["neus-facto"] = MethodConfig(
 )
 
 
+from nerfstudio_tpu.data.dataparsers.extra_dataparsers import (  # noqa: E402
+    PhototourismDataParserConfig,
+)
+from nerfstudio_tpu.data.dataparsers.specialty_dataparsers import (  # noqa: E402
+    Sitcoms3DDataParserConfig,
+)
+from nerfstudio_tpu.models.generfacto import GenerfactoModelConfig  # noqa: E402
+from nerfstudio_tpu.models.semantic_nerfw import SemanticNerfWModelConfig  # noqa: E402
+
+method_configs["semantic-nerfw"] = MethodConfig(
+    method_name="semantic-nerfw",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+    dataparser=Sitcoms3DDataParserConfig(),
+    model=SemanticNerfWModelConfig(eval_num_rays_per_chunk=1 << 14),
+    optimizers={
+        "field": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=1e-4, max_steps=30000),
+        },
+    },
+)
+
+# NeRF-W on unstructured photo collections: nerfacto model + phototourism
+# parser (reference method_configs.py phototourism entry — "one of the only
+# differences with nerfacto" is the dataparser)
+method_configs["phototourism"] = MethodConfig(
+    method_name="phototourism",
+    trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500),
+    datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
+    dataparser=PhototourismDataParserConfig(),
+    model=NerfactoModelConfig(
+        eval_num_rays_per_chunk=1 << 15, use_appearance_embedding=True
+    ),
+    optimizers=_nerfacto_optimizers(),
+)
+
+method_configs["generfacto"] = MethodConfig(
+    method_name="generfacto",
+    trainer=TrainerConfig(max_num_iterations=20000, steps_per_eval_image=0, steps_per_save=5000),
+    datamanager=DataManagerConfig(),
+    dataparser=NerfstudioDataParserConfig(),  # unused: random cameras
+    model=GenerfactoModelConfig(),
+    optimizers={},
+)
+
+
 def get_method(name: str) -> MethodConfig:
     import copy
 

@@ -50,7 +50,19 @@ def main(argv=None) -> None:
             Path(config.data).name if config.data is not None else "unnamed"
         )
 
+    from nerfstudio_tpu.models.generfacto import GenerfactoModelConfig
     from nerfstudio_tpu.models.splatfacto import SplatfactoModelConfig
+
+    if isinstance(config.model, GenerfactoModelConfig):
+        from nerfstudio_tpu.pipelines.generative_pipeline import train_generfacto
+
+        base = config.trainer.get_base_dir()
+        config.trainer.timestamp = base.name
+        base.mkdir(parents=True, exist_ok=True)
+        save_config(config, base)
+        print(f"config saved to {base / 'config.yml'}")
+        train_generfacto(config)
+        return
 
     if isinstance(config.model, SplatfactoModelConfig):
         from nerfstudio_tpu.pipelines.splat_pipeline import train_splat

@@ -15,8 +15,9 @@ from nerfstudio_tpu.configs.method_configs import get_method, method_configs
 from nerfstudio_tpu.pipelines.factory import build_pipeline, build_trainer
 
 # splatfacto methods use the dedicated SplatPipeline (tested in
-# test_splatfacto.py + test_splat_smoke below)
-BLACKLIST = ["splatfacto", "splatfacto-big", "splatfacto-mcmc"]
+# test_splatfacto.py + test_splat_smoke below); generfacto uses the
+# GenerativePipeline (test_generfacto_smoke below)
+BLACKLIST = ["splatfacto", "splatfacto-big", "splatfacto-mcmc", "generfacto"]
 
 
 def _shrink(config):
@@ -116,3 +117,23 @@ def test_splat_smoke(blender_dir, tmp_path):
     state = pipeline.train(state, 3, key)
     assert int(state.step) == 3
     assert bool(jnp.isfinite(state.params["means"]).all())
+
+
+def test_generfacto_smoke():
+    """2-step generative (SDS) training with the stub guidance."""
+    from nerfstudio_tpu.data.random_cameras_datamanager import RandomCamerasConfig
+    from nerfstudio_tpu.pipelines.generative_pipeline import GenerativePipeline
+
+    config = get_method("generfacto")
+    config.model.num_samples_per_ray = 8
+    config.model.log2_hashmap_size = 9 if hasattr(config.model, "log2_hashmap_size") else None
+    config.random_cameras = RandomCamerasConfig(train_resolution=16, eval_resolution=16)
+    pipeline = GenerativePipeline(config, seed=0)
+    key = jax.random.PRNGKey(0)
+    state = pipeline.init_state(key)
+    for step in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = pipeline.train_step(state, step, k)
+    assert np.isfinite(float(metrics["loss"]))
+    out = pipeline.render_eval_image(state, 0)
+    assert out["rgb"].shape == (16, 16, 3)
