@@ -67,6 +67,14 @@ class SplatfactoModelConfig(ModelConfig):
     random_init: bool = False
     num_random: int = 50000
     random_scale: float = 10.0
+    # per-image appearance correction via a learnable bilateral grid
+    # (reference splatfacto.py:153,253-259,587 + lib_bilagrid)
+    use_bilateral_grid: bool = False
+    bilateral_grid_shape: Tuple[int, int, int] = (8, 16, 16)  # (guidance, Y, X)
+    bilateral_tv_loss_mult: float = 10.0
+    # learnable per-camera pose correction applied to the full camera
+    # (reference camera_optimizers.apply_to_camera; splatfacto default off)
+    camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "off"
     ssim_lambda: float = 0.2
     max_gaussians: int = 300000
     max_refine_new: int = 8192  # slots grown per refine step (static)
@@ -93,6 +101,7 @@ def init_gaussian_params(
     seed_points: Optional[Tuple[np.ndarray, Optional[np.ndarray]]] = None,
     scene_scale: float = 1.0,
     seed: int = 42,
+    num_images: Optional[int] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], SplatAux]:
     """Seed from SfM points + kNN scale init (reference splatfacto.py:190-231),
     padded to max capacity."""
@@ -136,6 +145,14 @@ def init_gaussian_params(
         "features_rest": pad(features_rest),
         "opacities": pad(opacities - 20.0 * 0).at[n:].set(-10.0),
     }
+    if config.use_bilateral_grid and num_images is not None:
+        from nerfstudio_tpu.model_components.bilateral_grid import init_bilateral_grid
+
+        gw, gy, gx = config.bilateral_grid_shape
+        params["bilateral_grids"] = init_bilateral_grid(num_images, gx, gy, gw)
+    if config.camera_optimizer_mode != "off" and num_images is not None:
+        params["camera_opt"] = jnp.zeros((num_images, 6))
+
     alive = jnp.arange(n_cap) < n
     aux = SplatAux(
         alive=alive,
@@ -249,6 +266,16 @@ class SplatfactoModel:
             ) * 0.1
             loss_dict["scale_reg"] = scale_reg
             loss = loss + scale_reg
+        if cfg.use_bilateral_grid and "bilateral_grids" in params:
+            from nerfstudio_tpu.model_components.bilateral_grid import (
+                bilateral_grid_tv_loss,
+            )
+
+            tv = cfg.bilateral_tv_loss_mult * bilateral_grid_tv_loss(
+                params["bilateral_grids"]
+            )
+            loss_dict["tv_loss"] = tv
+            loss = loss + tv
         if cfg.strategy == "mcmc":
             # MCMC regularizers (reference splatfacto get_loss_dict mcmc branch)
             n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)

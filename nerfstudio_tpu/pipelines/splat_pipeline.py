@@ -50,6 +50,10 @@ def build_splat_optimizers(config: SplatfactoModelConfig, max_steps: int = 30000
         "scales": optax.adam(0.005, eps=1e-15),
         "quats": optax.adam(0.001, eps=1e-15),
     }
+    if config.use_bilateral_grid:
+        txs["bilateral_grids"] = optax.adam(5e-3, eps=1e-15)
+    if config.camera_optimizer_mode != "off":
+        txs["camera_opt"] = optax.adam(1e-4, eps=1e-15)
     return optax.multi_transform(txs, {k: k for k in txs})
 
 
@@ -70,7 +74,10 @@ class SplatPipeline:
     def init_state(self, seed_points=None, scene_scale: float = 1.0, seed: int = 42) -> SplatTrainState:
         params, aux = __import__(
             "nerfstudio_tpu.models.splatfacto", fromlist=["init_gaussian_params"]
-        ).init_gaussian_params(self.model.config, seed_points, scene_scale, seed)
+        ).init_gaussian_params(
+            self.model.config, seed_points, scene_scale, seed,
+            num_images=len(self.datamanager.train_dataset),
+        )
         opt_state = self.tx.init(params)
         return SplatTrainState(
             params=params, opt_state=opt_state, aux=aux, step=jnp.zeros((), jnp.int32)
@@ -94,17 +101,45 @@ class SplatPipeline:
             height: int,
             sh_degree: int,
             means_lr: float = 0.0,
+            cam_idx: int = 0,
         ):
             k_bg, k_noise = jax.random.split(key)
             n_cap = model.config.max_gaussians
             probe = jnp.zeros((n_cap, 2))
 
             def loss_fn(params, probe):
+                c2w_adj = c2w
+                if model.config.camera_optimizer_mode != "off":
+                    from nerfstudio_tpu.cameras.lie_groups import (
+                        exp_map_SE3,
+                        exp_map_SO3xR3,
+                    )
+                    from nerfstudio_tpu.utils.poses import multiply as pose_multiply
+
+                    exp_map = (
+                        exp_map_SE3
+                        if model.config.camera_optimizer_mode == "SE3"
+                        else exp_map_SO3xR3
+                    )
+                    adj = exp_map(params["camera_opt"][cam_idx][None])[0]
+                    c2w_adj = pose_multiply(adj, c2w)
                 outputs = model.render(
-                    params, state.aux.alive, c2w,
+                    params, state.aux.alive, c2w_adj,
                     (K[0], K[1], K[2], K[3]), width, height,
                     sh_degree_active=sh_degree, key=k_bg, means2d_probe=probe,
                 )
+                if model.config.use_bilateral_grid:
+                    from nerfstudio_tpu.model_components.bilateral_grid import (
+                        slice_bilateral_grid,
+                    )
+
+                    outputs = dict(outputs)
+                    outputs["rgb_raw"] = outputs["rgb"]
+                    outputs["rgb"] = jnp.clip(
+                        slice_bilateral_grid(params["bilateral_grids"][cam_idx], outputs["rgb"]),
+                        0.0,
+                        1.0,
+                    )
                 loss, loss_dict = model.get_loss(outputs, gt_image, params, state.aux.alive)
                 return loss, (outputs, loss_dict)
 
@@ -211,7 +246,7 @@ class SplatPipeline:
             state, metrics = self._train_step(
                 state, c2w, jnp.stack([fx, fy, cx, cy]), image, k,
                 width=w, height=h, sh_degree=self.model.sh_degree_at(step),
-                means_lr=float(self._means_lr(step)),
+                means_lr=float(self._means_lr(step)), cam_idx=cam_idx,
             )
             if writer is not None and step % log_every == 0:
                 writer.put_dict("train", {k2: float(v) for k2, v in metrics.items()}, step)
@@ -258,6 +293,12 @@ class SplatPipeline:
         if gt.shape[-1] == 4:
             gt = gt[..., :3] * gt[..., 3:] + out["background"] * (1 - gt[..., 3:])
         pred = out["rgb"]
+        if self.model.config.use_bilateral_grid:
+            # eval views have no learned grid: post-hoc color-correct the
+            # prediction for fair metrics (reference lib_bilagrid.color_correct)
+            from nerfstudio_tpu.model_components.bilateral_grid import color_correct
+
+            pred = color_correct(pred, gt)
         lp_fn, lp_name = lpips_fn()
         return {
             "psnr": float(psnr(pred, gt)),

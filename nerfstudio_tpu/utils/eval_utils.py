@@ -58,10 +58,20 @@ def eval_setup(config_path: Path, load_step: Optional[int] = None):
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        if state.aux is not None:
+            template["aux"] = state.aux
+        try:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except ValueError:
+            if "aux" not in template:
+                raise
+            # old checkpoint without aux: restore the rest, keep fresh aux
+            template.pop("aux")
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
         state = state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=restored["step"],
+            aux=restored.get("aux", state.aux),
         )
     return config, pipeline, state
