@@ -210,8 +210,16 @@ class FullImageDatamanager:
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset or train_dataset
         data = train_dataset.load_all()
-        self.train_images = jnp.asarray(data["images"])  # uint8 (N,H,W,C)
-        self.train_cameras = train_dataset.cameras
+        images = np.asarray(data["images"])  # uint8 (N,H,W,C)
+        cameras = train_dataset.cameras
+        # COLMAP captures carry lens distortion; the splat rasterizer assumes
+        # a pinhole camera, so undistort whole images up front (reference
+        # full_images_datamanager.py:202-271 / dataloaders.py:75-287)
+        from nerfstudio_tpu.data.undistort import maybe_undistort_dataset
+
+        images, cameras = maybe_undistort_dataset(images, cameras)
+        self.train_images = jnp.asarray(images)
+        self.train_cameras = cameras
         self.eval_cameras = self.eval_dataset.cameras
         self._rng = np.random.default_rng(seed)
         self._perm = self._rng.permutation(len(train_dataset))

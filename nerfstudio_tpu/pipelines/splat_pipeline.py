@@ -289,7 +289,23 @@ class SplatPipeline:
 
     def get_eval_image_metrics(self, state: SplatTrainState, camera_idx: int):
         out = self.render_eval_image(state, camera_idx)
-        gt = jnp.asarray(self.datamanager.eval_dataset.get_image_float32(camera_idx))
+        gt_np = np.asarray(self.datamanager.eval_dataset.get_image_float32(camera_idx))
+        cams = self.datamanager.eval_cameras
+        if cams.distortion_params is not None:
+            d = np.asarray(cams.distortion_params)[camera_idx].reshape(-1)
+            if np.any(np.abs(d) > 1e-12):
+                from nerfstudio_tpu.data.undistort import undistort_image
+
+                gt_np = undistort_image(
+                    gt_np,
+                    float(np.asarray(cams.fx)[camera_idx, 0]),
+                    float(np.asarray(cams.fy)[camera_idx, 0]),
+                    float(np.asarray(cams.cx)[camera_idx, 0]),
+                    float(np.asarray(cams.cy)[camera_idx, 0]),
+                    d,
+                    int(np.asarray(cams.camera_type).reshape(-1)[camera_idx]),
+                )
+        gt = jnp.asarray(gt_np)
         if gt.shape[-1] == 4:
             gt = gt[..., :3] * gt[..., 3:] + out["background"] * (1 - gt[..., 3:])
         pred = out["rgb"]
