@@ -146,10 +146,14 @@ def read_cameras_text(path: Path) -> Dict[int, ColmapCamera]:
 
 def read_images_text(path: Path) -> Dict[int, ColmapImage]:
     images = {}
+    # NOTE: the 2D-points line of an image record may be EMPTY (zero
+    # observations), so only comments may be dropped — not blank lines
     lines = [
         l.strip() for l in Path(path).read_text().splitlines()
-        if l.strip() and not l.startswith("#")
+        if not l.startswith("#")
     ]
+    while lines and not lines[-1]:
+        lines.pop()
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         image_id = int(parts[0])

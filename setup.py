@@ -13,6 +13,7 @@ setup(
             "nst-render=nerfstudio_tpu.scripts.render:entrypoint",
             "nst-export=nerfstudio_tpu.scripts.exporter:entrypoint",
             "nst-download-data=nerfstudio_tpu.scripts.downloads.download_data:entrypoint",
+            "nst-process-data=nerfstudio_tpu.scripts.process_data:entrypoint",
         ],
     },
 )
