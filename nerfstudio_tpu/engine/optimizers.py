@@ -85,7 +85,14 @@ def build_optimizers(
         opt_cfg: OptimizerConfig = cfgs["optimizer"]
         sched_cfg: Optional[SchedulerConfig] = cfgs.get("scheduler")
         schedule = sched_cfg.build(opt_cfg.lr) if sched_cfg is not None else opt_cfg.lr
-        transforms[group] = opt_cfg.build(schedule)
+        tx = opt_cfg.build(schedule)
+        # per-group gradient accumulation (reference engine/trainer.py:87,
+        # 494-509 zero_grad_some/step_some): optax.MultiSteps accumulates k
+        # microbatch grads and applies the group update every k-th step
+        accum = int(cfgs.get("gradient_accumulation_steps", 1) or 1)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        transforms[group] = tx
 
     groups = sorted(optimizer_configs.keys(), key=len, reverse=True)
 

@@ -12,6 +12,7 @@ from typing import Dict, Optional, Tuple, Type
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerfstudio_tpu.core.rays import RayBundle
 from nerfstudio_tpu.field_components.field_heads import FieldHeadNames
@@ -50,6 +51,72 @@ class TensoRFModel(Model):
     """(reference tensorf.py:91-378)"""
 
     config: TensoRFModelConfig = None
+
+    # -- progressive grid upsampling (reference tensorf.py:119-160) ----------
+    #
+    # TPU design: the VM grids' shapes live in the param leaves (flax reads
+    # them from the dict at apply time), so upsampling = linear-resample the
+    # plane/line leaves + reinit the optimizer state; XLA re-jits on the new
+    # shapes automatically. The hook runs host-side between steps.
+
+    @staticmethod
+    def upsample_resolutions(config: TensoRFModelConfig):
+        n = len(config.upsampling_iters)
+        return (
+            np.round(
+                np.exp(
+                    np.linspace(
+                        np.log(config.init_resolution),
+                        np.log(config.final_resolution),
+                        n + 1,
+                    )
+                )
+            )
+            .astype(int)[1:]
+            .tolist()
+        )
+
+    @staticmethod
+    def make_upsample_hook(pipeline, config: TensoRFModelConfig):
+        milestones = dict(
+            zip(config.upsampling_iters, TensoRFModel.upsample_resolutions(config))
+        )
+
+        def hook(state, step: int, key):
+            if step not in milestones:
+                return state
+            new_res = int(milestones[step])
+
+            def resize(path, leaf):
+                name = getattr(path[-1], "key", None)
+                if name == "plane_coef":
+                    return jax.image.resize(
+                        leaf, leaf.shape[:2] + (new_res, new_res), "linear"
+                    )
+                if name == "line_coef":
+                    return jax.image.resize(leaf, leaf.shape[:2] + (new_res,), "linear")
+                return leaf
+
+            new_params = jax.tree_util.tree_map_with_path(resize, state.params)
+            # rebuild the model objects so flax's param-shape validation sees
+            # the new grid resolution, and drop the cached jitted programs
+            new_cfg = dataclasses.replace(config, init_resolution=new_res)
+            old = pipeline.model_train
+            pipeline.model_train = TensoRFModel(
+                config=new_cfg, scene_aabb=old.scene_aabb,
+                num_train_data=old.num_train_data, train=True,
+            )
+            pipeline.model_eval = TensoRFModel(
+                config=new_cfg, scene_aabb=old.scene_aabb,
+                num_train_data=old.num_train_data, train=False,
+            )
+            pipeline._train_step = None
+            pipeline._eval_chunk = None
+            # reference reinitializes the optimizer after each upsample
+            new_opt = pipeline.tx.init(new_params)
+            return state.replace(params=new_params, opt_state=new_opt)
+
+        return hook
 
     def setup(self):
         self.field = TensoRFField(

@@ -62,6 +62,8 @@ def build_pipeline(
         datamanager, model_train, model_eval, tx=None, mesh=mesh,
         loss_coefficients=config.model.loss_coefficients if hasattr(config.model, "loss_coefficients") else None,
     )
+    if hasattr(ModelCls, "make_upsample_hook"):
+        pipeline.aux_update_fn = ModelCls.make_upsample_hook(pipeline, config.model)
     if hasattr(ModelCls, "init_aux"):
         pipeline.init_aux = lambda: ModelCls.init_aux(model_train, config.model)
     if hasattr(ModelCls, "make_aux_update_fn"):

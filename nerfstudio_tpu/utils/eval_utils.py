@@ -34,15 +34,31 @@ def eval_setup(config_path: Path, load_step: Optional[int] = None):
         if step is not None:
             template = {
                 "params": state.params,
-                "aux_alive": state.aux.alive,
+                "opt_state": state.opt_state,
+                "aux": state.aux,
                 "step": state.step,
             }
-            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-            state = state.replace(
-                params=restored["params"],
-                aux=state.aux.replace(alive=restored["aux_alive"]),
-                step=restored["step"],
-            )
+            try:
+                restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+                state = state.replace(
+                    params=restored["params"],
+                    opt_state=restored["opt_state"],
+                    aux=restored["aux"],
+                    step=restored["step"],
+                )
+            except ValueError:
+                # legacy final-only checkpoint layout {params, aux_alive, step}
+                template = {
+                    "params": state.params,
+                    "aux_alive": state.aux.alive,
+                    "step": state.step,
+                }
+                restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+                state = state.replace(
+                    params=restored["params"],
+                    aux=state.aux.replace(alive=restored["aux_alive"]),
+                    step=restored["step"],
+                )
         return config, pipeline, state
 
     from nerfstudio_tpu.pipelines.factory import build_pipeline

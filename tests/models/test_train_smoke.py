@@ -137,3 +137,35 @@ def test_generfacto_smoke():
     assert np.isfinite(float(metrics["loss"]))
     out = pipeline.render_eval_image(state, 0)
     assert out["rgb"].shape == (16, 16, 3)
+
+
+def test_tensorf_progressive_upsampling(blender_dir):
+    """Grid leaves must grow at milestone steps and training continues
+    (reference tensorf.py:119-160)."""
+    config = get_method("tensorf")
+    from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+
+    config.dataparser = BlenderDataParserConfig(data=blender_dir)
+    config.datamanager.train_num_rays_per_batch = 16
+    config.model.init_resolution = 8
+    config.model.final_resolution = 16
+    config.model.upsampling_iters = (2,)
+    config.model.num_uniform_samples = 8
+    config.model.num_samples = 4
+    pipeline, state, config = build_pipeline(config, use_mesh=False)
+    key = jax.random.PRNGKey(0)
+
+    def plane_shape(params):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        for path, leaf in flat:
+            if getattr(path[-1], "key", None) == "plane_coef":
+                return leaf.shape
+        raise AssertionError("no plane_coef leaf")
+
+    assert plane_shape(state.params)[-1] == 8
+    for step in range(4):
+        state = pipeline.aux_update_fn(state, step, key)
+        key, k = jax.random.split(key)
+        state, metrics = pipeline.train_step(state, pipeline.datamanager.train_images, k)
+    assert plane_shape(state.params)[-1] == 16
+    assert np.isfinite(float(metrics["loss"]))
