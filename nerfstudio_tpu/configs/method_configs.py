@@ -383,6 +383,14 @@ def get_method(name: str) -> MethodConfig:
     all_methods = dict(method_configs)
     all_methods.update(discover_methods())
     if name not in all_methods:
+        from nerfstudio_tpu.configs.external_methods import get_external_methods
+
+        _, install = get_external_methods()
+        if name in install:
+            raise SystemExit(
+                f"method {name!r} is an external plugin. Install it first:\n\n"
+                f"{install[name]}\n"
+            )
         raise SystemExit(
             f"unknown method {name!r}; available: {', '.join(sorted(all_methods))}"
         )
