@@ -28,7 +28,7 @@ def unit_vector(data, axis: Optional[int] = None):
 
 def quaternion_from_matrix(matrix, isprecise: bool = False) -> np.ndarray:
     """Rotation matrix -> quaternion wxyz (reference :64-121)."""
-    M = np.array(matrix, dtype=np.float64, copy=False)[:4, :4]
+    M = np.asarray(matrix, dtype=np.float64)[:4, :4]
     if isprecise:
         q = np.empty((4,))
         t = np.trace(M)

@@ -198,6 +198,9 @@ class Trainer:
 
             if self.viewer is not None:
                 self.viewer.update(self, step)
+                # pause-state spin (reference trainer.py:233-312 train loop)
+                while getattr(self.viewer, "paused", False):
+                    time.sleep(0.1)
 
             if cfg.steps_per_eval_image and step % cfg.steps_per_eval_image == 0 and step > 0:
                 self.eval_iteration(step)

@@ -255,14 +255,30 @@ class SplatPipeline:
             "aux": state.aux,
             "step": state.step,
         }
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+            new_state = SplatTrainState(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                aux=restored["aux"],
+                step=restored["step"],
+            )
+        except ValueError:
+            # legacy final-only layout {params, aux_alive, step}: restore the
+            # gaussians, keep fresh optimizer moments and densify stats
+            template = {
+                "params": state.params,
+                "aux_alive": state.aux.alive,
+                "step": state.step,
+            }
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+            new_state = state.replace(
+                params=restored["params"],
+                aux=state.aux.replace(alive=restored["aux_alive"]),
+                step=restored["step"],
+            )
         print(f"loaded splat checkpoint at step {step} from {ckpt_dir}")
-        return SplatTrainState(
-            params=restored["params"],
-            opt_state=restored["opt_state"],
-            aux=restored["aux"],
-            step=restored["step"],
-        )
+        return new_state
 
     # ------------------------------------------------------------------
     def train(

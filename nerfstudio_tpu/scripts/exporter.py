@@ -36,12 +36,16 @@ def export_pointcloud(run_dir: Path, output_dir: Path, num_points: int = 1000000
 
 def export_gaussian_splat(run_dir: Path, output_dir: Path) -> None:
     """3DGS PLY export (reference exporter.py:501-556 format)."""
-    from nerfstudio_tpu.exporter.ply_io import write_ply
     from nerfstudio_tpu.utils.eval_utils import eval_setup
 
     config, pipeline, state = eval_setup(run_dir)
-    params = state.params
-    alive = np.asarray(state.aux.alive)
+    write_splat_ply(state.params, np.asarray(state.aux.alive), output_dir / "splat.ply")
+
+
+def write_splat_ply(params, alive: np.ndarray, out_path: Path) -> None:
+    """Write live gaussians in the standard 3DGS PLY layout."""
+    from nerfstudio_tpu.exporter.ply_io import write_ply
+
     means = np.asarray(params["means"])[alive]
     scales = np.asarray(params["scales"])[alive]
     quats = np.asarray(params["quats"])[alive]
@@ -67,8 +71,8 @@ def export_gaussian_splat(run_dir: Path, output_dir: Path) -> None:
         fields[f"scale_{i}"] = scales[:, i].astype(np.float32)
     for i in range(4):
         fields[f"rot_{i}"] = quats[:, i].astype(np.float32)
-    write_ply(output_dir / "splat.ply", n, fields)
-    print(f"exported {n} gaussians to {output_dir / 'splat.ply'}")
+    write_ply(Path(out_path), n, fields)
+    print(f"exported {n} gaussians to {out_path}")
 
 
 def export_cameras(run_dir: Path, output_dir: Path) -> None:

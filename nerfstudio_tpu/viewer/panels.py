@@ -1,0 +1,221 @@
+"""Viewer panels — server-side state + actions (reference:
+nerfstudio/viewer/control_panel.py (425), render_panel.py (1,193),
+export_panel.py (214)).
+
+The TPU viewer keeps the browser client thin: panel state lives here, panel
+actions (keyframe paths, offline renders, exports) run host-side, and camera
+frustums are composited into the rendered frame rather than drawn by a 3D
+client."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ControlPanelState:
+    """(reference control_panel.py ControlPanel fields)"""
+
+    output_type: str = "rgb"  # rgb | depth | accumulation
+    max_resolution: int = 512
+    train_util: float = 0.9
+    show_cameras: bool = False
+    paused: bool = False
+    colormap_max: float = 5.0  # depth normalization
+    crop_enabled: bool = False
+    crop_min: tuple = (-1.0, -1.0, -1.0)
+    crop_max: tuple = (1.0, 1.0, 1.0)
+
+    def apply(self, updates: dict) -> None:
+        for k, v in updates.items():
+            if hasattr(self, k):
+                cur = getattr(self, k)
+                if isinstance(cur, bool):
+                    v = bool(v)
+                elif isinstance(cur, int):
+                    v = int(v)
+                elif isinstance(cur, float):
+                    v = float(v)
+                setattr(self, k, v)
+
+
+class RenderPanel:
+    """Keyframe collection + camera-path rendering (reference render_panel.py)."""
+
+    def __init__(self):
+        self.keyframes: List[dict] = []  # {c2w: (3,4) list, fov: float}
+        self._render_thread: Optional[threading.Thread] = None
+        self.status = "idle"
+
+    def add_keyframe(self, c2w, fov: float) -> int:
+        self.keyframes.append({"c2w": np.asarray(c2w, np.float32).tolist(), "fov": float(fov)})
+        return len(self.keyframes)
+
+    def clear(self) -> None:
+        self.keyframes = []
+
+    def save_path_json(self, path: Path, resolution: int = 512, fps: int = 24,
+                       seconds: float = 4.0) -> Path:
+        """Write a camera-path json compatible with nst-render camera-path
+        (reference render_panel's export to camera_path.json)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = {
+            "keyframes": self.keyframes,
+            "render_height": resolution,
+            "render_width": resolution,
+            "fps": fps,
+            "seconds": seconds,
+        }
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=2)
+        return path
+
+    def interpolated_path(self, n_frames: int = 96) -> np.ndarray:
+        """-> (N, 3, 4) c2w path through the keyframes (slerp + lerp)."""
+        from nerfstudio_tpu.cameras import camera_utils
+
+        assert len(self.keyframes) >= 2, "need at least 2 keyframes"
+        poses = np.asarray([k["c2w"] for k in self.keyframes], np.float32)
+        ks = np.tile(np.eye(3, dtype=np.float32), (len(poses), 1, 1))
+        steps = max(2, n_frames // max(len(poses) - 1, 1))
+        poses_i, _ = camera_utils.get_interpolated_poses_many(
+            poses, ks, steps_per_transition=steps
+        )
+        return np.asarray(poses_i, np.float32)
+
+    def render_path_async(self, viewer, n_frames: int, resolution: int,
+                          output_dir: Path) -> None:
+        """Render the keyframe path to PNG frames in a background thread,
+        yielding the device between frames (reference render_panel's
+        'render' button -> offline render)."""
+
+        def _run():
+            self.status = "rendering"
+            try:
+                from PIL import Image
+
+                from nerfstudio_tpu.cameras.cameras import Cameras
+
+                path = self.interpolated_path(n_frames)
+                out = Path(output_dir)
+                out.mkdir(parents=True, exist_ok=True)
+                fov = self.keyframes[0]["fov"]
+                focal = resolution / (2 * np.tan(np.deg2rad(fov) / 2))
+                for i, c2w in enumerate(path):
+                    cam = Cameras(
+                        camera_to_worlds=c2w[None], fx=focal, fy=focal,
+                        cx=resolution / 2, cy=resolution / 2,
+                        width=resolution, height=resolution,
+                    )
+                    rgb = viewer.render_view(cam, resolution)
+                    Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(
+                        out / f"frame_{i:05d}.png"
+                    )
+                    self.status = f"rendering {i + 1}/{len(path)}"
+                    time.sleep(0.01)
+                self.status = f"done: {out}"
+            except Exception as e:  # noqa: BLE001
+                self.status = f"error: {e}"
+
+        self._render_thread = threading.Thread(target=_run, daemon=True)
+        self._render_thread.start()
+
+
+class ExportPanel:
+    """Export actions (reference export_panel.py: pointcloud / splat / crop)."""
+
+    def __init__(self):
+        self.status = "idle"
+        self._thread: Optional[threading.Thread] = None
+
+    def export_async(self, viewer, kind: str, output_dir: Path, num_points: int = 200000):
+        def _run():
+            self.status = f"exporting {kind}"
+            try:
+                out = Path(output_dir)
+                out.mkdir(parents=True, exist_ok=True)
+                state = viewer.state_getter()
+                if kind == "gaussian-splat":
+                    from nerfstudio_tpu.scripts.exporter import write_splat_ply
+
+                    write_splat_ply(state.params, np.asarray(state.aux.alive), out / "splat.ply")
+                elif kind == "pointcloud":
+                    from nerfstudio_tpu.exporter.exporter_utils import generate_point_cloud
+                    from nerfstudio_tpu.exporter.ply_io import write_ply
+
+                    pts, rgb = generate_point_cloud(
+                        viewer.pipeline, state, num_points=num_points, max_cameras=10
+                    )
+                    write_ply(
+                        out / "pointcloud.ply",
+                        len(pts),
+                        {
+                            "x": pts[:, 0].astype(np.float32),
+                            "y": pts[:, 1].astype(np.float32),
+                            "z": pts[:, 2].astype(np.float32),
+                            "red": np.clip(rgb[:, 0] * 255, 0, 255).astype(np.uint8),
+                            "green": np.clip(rgb[:, 1] * 255, 0, 255).astype(np.uint8),
+                            "blue": np.clip(rgb[:, 2] * 255, 0, 255).astype(np.uint8),
+                        },
+                    )
+                else:
+                    raise ValueError(f"unknown export kind {kind}")
+                self.status = f"done: {out}"
+            except Exception as e:  # noqa: BLE001
+                self.status = f"error: {e}"
+
+        self._thread = threading.Thread(target=_run, daemon=True)
+        self._thread.start()
+
+
+def draw_camera_frustums(
+    image: np.ndarray,
+    view_c2w: np.ndarray,
+    focal: float,
+    train_c2ws: np.ndarray,
+    scale: float = 0.08,
+    color=(255, 180, 40),
+) -> np.ndarray:
+    """Composite training-camera wireframe frustums into a rendered frame
+    (the reference shows frustums via viser's 3D scene; here the server
+    projects + rasterizes thin lines directly)."""
+    h, w = image.shape[:2]
+    out = image.copy()
+    R = view_c2w[:3, :3]
+    t = view_c2w[:3, 3]
+
+    def project(pts):
+        cam = (pts - t) @ R  # world -> view camera
+        z = -cam[:, 2]
+        ok = z > 1e-6
+        x = cam[:, 0] / np.maximum(z, 1e-6) * focal + w / 2
+        y = -cam[:, 1] / np.maximum(z, 1e-6) * focal + h / 2
+        return np.stack([x, y], -1), ok
+
+    # frustum template in camera space (OpenGL: looking down -z)
+    s = scale
+    corners = np.array(
+        [[0, 0, 0], [-s, -s, -2 * s], [s, -s, -2 * s], [s, s, -2 * s], [-s, s, -2 * s]]
+    )
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1)]
+    for c2w in train_c2ws:
+        pts = corners @ c2w[:3, :3].T + c2w[:3, 3]
+        uv, ok = project(pts)
+        for a, b in edges:
+            if not (ok[a] and ok[b]):
+                continue
+            n = int(max(abs(uv[b, 0] - uv[a, 0]), abs(uv[b, 1] - uv[a, 1]))) + 1
+            n = min(n, 4 * max(h, w))
+            xs = np.linspace(uv[a, 0], uv[b, 0], n).astype(int)
+            ys = np.linspace(uv[a, 1], uv[b, 1], n).astype(int)
+            m = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+            out[ys[m], xs[m]] = color
+    return out

@@ -52,8 +52,22 @@ class Viewer:
         self._clients = set()
         self._loop = None
         self._stop = False
-        self.train_util = 0.9  # fraction of time given to training
         self.stats = {"step": 0, "rays_per_sec": 0.0}
+        # panels (reference control/render/export panels)
+        from nerfstudio_tpu.viewer.panels import ControlPanelState, ExportPanel, RenderPanel
+
+        self.control = ControlPanelState(max_resolution=max_resolution)
+        self.render_panel = RenderPanel()
+        self.export_panel = ExportPanel()
+        self.output_dir = Path("viewer_outputs")
+
+    @property
+    def train_util(self) -> float:
+        return self.control.train_util
+
+    @property
+    def paused(self) -> bool:
+        return self.control.paused
 
     # ------------------------------------------------------------------
     def start(self) -> None:
@@ -78,11 +92,35 @@ class Viewer:
             try:
                 async for raw in ws:
                     msg = json.loads(raw)
-                    if msg.get("type") == "camera":
+                    mtype = msg.get("type")
+                    if mtype == "camera":
                         self.camera_pose = np.asarray(msg["c2w"], np.float32).reshape(3, 4)
                         self.camera_fov = float(msg.get("fov", 60.0))
                         self.render_state = RenderState.LOW_MOVE
                         self._dirty.set()
+                    elif mtype == "setting":
+                        # control panel update (reference control_panel.py)
+                        self.control.apply(msg.get("updates", {}))
+                        self.render_state = RenderState.LOW_STATIC
+                        self._dirty.set()
+                    elif mtype == "keyframe_add":
+                        if self.camera_pose is not None:
+                            n = self.render_panel.add_keyframe(self.camera_pose, self.camera_fov)
+                            self._send({"type": "panel", "keyframes": n})
+                    elif mtype == "keyframe_clear":
+                        self.render_panel.clear()
+                        self._send({"type": "panel", "keyframes": 0})
+                    elif mtype == "render_path":
+                        self.render_panel.render_path_async(
+                            self,
+                            int(msg.get("frames", 48)),
+                            int(msg.get("resolution", 512)),
+                            self.output_dir / "render",
+                        )
+                    elif mtype == "export":
+                        self.export_panel.export_async(
+                            self, msg.get("kind", "pointcloud"), self.output_dir / "exports"
+                        )
             finally:
                 self._clients.discard(ws)
 
@@ -131,7 +169,35 @@ class Viewer:
             return 128
         if self.render_state == RenderState.LOW_STATIC:
             return 256
-        return self.max_resolution
+        return self.control.max_resolution
+
+    # -- shared render entry (also used by the render panel) -----------------
+    def render_view(self, cam, res: int) -> np.ndarray:
+        """Render one camera -> (res, res, 3) float rgb in [0,1]."""
+        state = self.state_getter()
+        focal = float(np.asarray(cam.fx).reshape(-1)[0])
+        if hasattr(self.pipeline, "model") and hasattr(self.pipeline.model, "render"):
+            out = self.pipeline.model.render(
+                state.params, state.aux.alive, np.asarray(cam.camera_to_worlds)[0],
+                (focal, focal, res / 2, res / 2), res, res,
+                sh_degree_active=self.pipeline.model.config.sh_degree,
+            )
+        else:
+            out = self.pipeline.render_camera(
+                state.params, cam, 0, chunk_size=res * res,
+                aux=getattr(state, "aux", None),
+            )
+        sel = self.control.output_type
+        if sel == "depth" and "depth" in out:
+            d = np.asarray(out["depth"])[..., 0] / max(self.control.colormap_max, 1e-6)
+            rgb = np.repeat(np.clip(d, 0, 1)[..., None], 3, axis=-1)
+        elif sel == "accumulation" and "accumulation" in out:
+            a = np.asarray(out["accumulation"])
+            a = a[..., 0] if a.ndim == 3 else a
+            rgb = np.repeat(np.clip(a, 0, 1)[..., None], 3, axis=-1)
+        else:
+            rgb = np.asarray(out["rgb"])
+        return rgb
 
     def _render_loop(self) -> None:
         from PIL import Image
@@ -151,21 +217,19 @@ class Viewer:
             )
             try:
                 t0 = time.perf_counter()
-                state = self.state_getter()
-                if hasattr(self.pipeline, "model") and hasattr(self.pipeline.model, "render"):
-                    out = self.pipeline.model.render(
-                        state.params, state.aux.alive, cam.camera_to_worlds[0],
-                        (focal, focal, res / 2, res / 2), res, res,
-                        sh_degree_active=self.pipeline.model.config.sh_degree,
-                    )
-                else:
-                    out = self.pipeline.render_camera(
-                        state.params, cam, 0, chunk_size=res * res,
-                        aux=getattr(state, "aux", None),
-                    )
-                rgb = np.asarray(out["rgb"])
+                rgb = self.render_view(cam, res)
                 dt = time.perf_counter() - t0
-                img = Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+                frame = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+                if self.control.show_cameras:
+                    from nerfstudio_tpu.viewer.panels import draw_camera_frustums
+
+                    train_c2ws = np.asarray(
+                        self.pipeline.datamanager.train_cameras.camera_to_worlds
+                    )[:50]
+                    frame = draw_camera_frustums(
+                        frame, self.camera_pose, focal, train_c2ws
+                    )
+                img = Image.fromarray(frame)
                 buf = io.BytesIO()
                 img.save(buf, format="JPEG", quality=80)
                 self._send(
@@ -175,6 +239,9 @@ class Viewer:
                         "res": res,
                         "render_ms": round(dt * 1e3, 1),
                         "step": self.stats["step"],
+                        "render_status": self.render_panel.status,
+                        "export_status": self.export_panel.status,
+                        "paused": self.control.paused,
                     }
                 )
                 # progressive refinement: move -> static -> high
@@ -184,7 +251,8 @@ class Viewer:
                     elif self.render_state == RenderState.LOW_STATIC:
                         self.render_state = RenderState.HIGH
                 # yield to training
-                time.sleep(max(dt * self.train_util / (1 - self.train_util), 0.02))
+                util = min(max(self.control.train_util, 0.05), 0.98)
+                time.sleep(max(dt * util / (1 - util), 0.02))
             except Exception as e:  # noqa: BLE001
                 print(f"[viewer] render error: {e}")
                 time.sleep(0.5)
