@@ -39,6 +39,7 @@ from nerfstudio_tpu.data.pixel_samplers import (
     sample_patch_pixel_indices,
     sample_pixel_indices,
     sample_pixel_indices_equirectangular,
+    sample_pixel_indices_fisheye,
     sample_pixel_indices_from_valid,
 )
 
@@ -50,7 +51,7 @@ class DataManagerConfig:
     train_num_rays_per_batch: int = 4096
     eval_num_rays_per_batch: int = 4096
     patch_size: int = 1
-    pixel_sampler: Literal["uniform", "equirectangular", "patch", "pair"] = "uniform"
+    pixel_sampler: Literal["uniform", "equirectangular", "patch", "pair", "fisheye"] = "uniform"
     camera_res_scale_factor: float = 1.0
     max_images_in_memory: Optional[int] = None
     steps_per_reload: int = 1000
@@ -161,6 +162,10 @@ class DeviceCacheDataManager:
             idx = sample_pixel_indices_from_valid(key, num_rays, self.valid_indices)
         elif sampler == "equirectangular":
             idx = sample_pixel_indices_equirectangular(
+                key, num_rays, n, self.image_height, self.image_width
+            )
+        elif sampler == "fisheye":
+            idx = sample_pixel_indices_fisheye(
                 key, num_rays, n, self.image_height, self.image_width
             )
         elif sampler == "patch":

@@ -150,3 +150,29 @@ class SemanticDataset(InputDataset):
         if label.ndim == 3:
             label = label[..., 0]
         return {"semantics": label[..., None].astype(np.int32)}
+
+
+class SDFDataset(InputDataset):
+    """Dataset with monocular depth + normal priors for SDF training
+    (reference data/datasets/sdf_dataset.py: sdfstudio-format mono priors)."""
+
+    def __init__(self, dataparser_outputs: DataparserOutputs, scale_factor: float = 1.0):
+        super().__init__(dataparser_outputs, scale_factor)
+        md = dataparser_outputs.metadata
+        self.depth_filenames = md.get("depth_filenames")
+        self.normal_filenames = md.get("normal_filenames")
+        self.c2ws = np.asarray(dataparser_outputs.cameras.camera_to_worlds)
+
+    def get_metadata(self, image_idx: int) -> Dict:
+        out: Dict = {}
+        if self.depth_filenames:
+            depth = np.load(Path(self.depth_filenames[image_idx]))
+            out["depth_image"] = depth[..., None].astype(np.float32) if depth.ndim == 2 else depth
+        if self.normal_filenames:
+            normal = np.load(Path(self.normal_filenames[image_idx]))  # (H, W, 3) in [0,1] cam space
+            normal = normal * 2.0 - 1.0
+            # camera space -> world space via the camera rotation
+            R = self.c2ws[image_idx, :3, :3]
+            h, w, _ = normal.shape
+            out["normal_image"] = (normal.reshape(-1, 3) @ R.T).reshape(h, w, 3).astype(np.float32)
+        return out

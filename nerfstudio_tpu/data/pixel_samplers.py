@@ -31,6 +31,32 @@ class PixelSamplerConfig:
     is_equirectangular: bool = False
 
 
+def sample_pixel_indices_fisheye(
+    key: jax.Array,
+    num_rays: int,
+    num_images: int,
+    image_height: int,
+    image_width: int,
+) -> jnp.ndarray:
+    """Fisheye-aware sampling: uniform in (radius, theta) around the image
+    center so the heavily-distorted rim is not oversampled relative to solid
+    angle (reference pixel_samplers.py:206-240 sample_method fisheye)."""
+    kc, kr, kt = jax.random.split(key, 3)
+    c = jax.random.randint(kc, (num_rays,), 0, num_images)
+    max_r = min(image_height, image_width) / 2.0
+    # sqrt-uniform radius would be area-uniform; the reference samples radius
+    # uniformly (denser near the center, matching fisheye solid angle)
+    radius = jax.random.uniform(kr, (num_rays,)) * max_r
+    theta = jax.random.uniform(kt, (num_rays,)) * (2 * jnp.pi)
+    row = jnp.clip(
+        (image_height / 2.0 + radius * jnp.sin(theta)).astype(jnp.int32), 0, image_height - 1
+    )
+    col = jnp.clip(
+        (image_width / 2.0 + radius * jnp.cos(theta)).astype(jnp.int32), 0, image_width - 1
+    )
+    return jnp.stack([c, row, col], axis=-1).astype(jnp.int32)
+
+
 def sample_pixel_indices(
     key: jax.Array,
     num_rays: int,

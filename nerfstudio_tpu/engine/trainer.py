@@ -70,6 +70,7 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self.state: Optional[TrainState] = None
         self.writer = writer_lib.EventWriter(self.base_dir, vis=config.vis)
+        self.writer.max_steps = config.max_num_iterations
         self.viewer = None
         self._ckpt_mgr = None
 

@@ -22,6 +22,8 @@ class EventWriter:
         self._wandb = None
         self._start = time.time()
         self._last_print: Dict[str, float] = {}
+        self._avg_buffer: Dict[str, float] = {}
+        self.max_steps = 0
         if "tensorboard" in vis:
             try:
                 from tensorboardX import SummaryWriter
@@ -45,6 +47,8 @@ class EventWriter:
         if self._wandb is not None:
             self._wandb.log({name: value}, step=step)
 
+    max_steps: int = 0  # set by the trainer for ETA computation
+
     def put_dict(self, prefix: str, values: Dict[str, float], step: int) -> None:
         for k, v in values.items():
             self.put_scalar(f"{prefix}/{k}", v, step)
@@ -56,6 +60,30 @@ class EventWriter:
                 f"{k}={v:.4g}" for k, v in values.items() if isinstance(v, (int, float))
             )
             print(f"[{prefix} {step}] {msg}", flush=True)
+        # periodic stats table with running averages + ETA (the reference's
+        # rich LocalWriter table, writer.py:125-235)
+        if prefix == "train":
+            buf = self._avg_buffer
+            for k in ("train_rays_per_sec", "loss", "psnr"):
+                if k in values:
+                    buf[k] = 0.9 * buf.get(k, float(values[k])) + 0.1 * float(values[k])
+            if now - self._last_print.get("_table", 0.0) > 30.0 and step > 0:
+                self._last_print["_table"] = now
+                elapsed = now - self._start
+                eta = ""
+                if self.max_steps and step:
+                    remaining = elapsed / max(step, 1) * (self.max_steps - step)
+                    eta = time.strftime("%H:%M:%S", time.gmtime(remaining))
+                cols = [("step", f"{step}"), ("elapsed", time.strftime("%H:%M:%S", time.gmtime(elapsed)))]
+                cols += [(k, f"{v:.4g}") for k, v in buf.items()]
+                if eta:
+                    cols.append(("ETA", eta))
+                widths = [max(len(a), len(b)) for a, b in cols]
+                line1 = " | ".join(a.ljust(w) for (a, _), w in zip(cols, widths))
+                line2 = " | ".join(b.ljust(w) for (_, b), w in zip(cols, widths))
+                print("-" * len(line1))
+                print(line1)
+                print(line2, flush=True)
 
     def put_image(self, name: str, image: np.ndarray, step: int) -> None:
         if self._tb is not None:
