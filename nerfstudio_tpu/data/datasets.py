@@ -89,18 +89,44 @@ class InputDataset:
     def __getitem__(self, image_idx: int) -> Dict:
         return self.get_data(image_idx)
 
+    def _load_all_native(self) -> Optional[np.ndarray]:
+        """Batch-decode the split with the C++ loader; None -> use PIL."""
+        if self.scale_factor != 1.0:
+            return None  # native path has no fractional resize
+        files = list(self._dataparser_outputs.image_filenames)
+        if not files or any(
+            Path(f).suffix.lower() not in (".png", ".jpg", ".jpeg") for f in files
+        ):
+            return None
+        try:
+            from nerfstudio_tpu.native import decode_image_batch, native_loader
+
+            mod = native_loader()
+            if mod is None:
+                return None
+            h, w, c = mod.image_size(str(files[0]))
+            return decode_image_batch(files, h, w, c)
+        except Exception:  # noqa: BLE001 — any native failure falls back
+            return None
+
     def load_all(self) -> Dict[str, np.ndarray]:
         """Stack the whole split: uint8 images (N,H,W,3|4) + optional masks.
 
         The TPU datamanager moves this once into HBM; per-step pixel
-        sampling then happens on device (no host round-trips)."""
-        images = [self.get_numpy_image(i) for i in range(len(self))]
-        shapes = {im.shape for im in images}
-        if len(shapes) != 1:
-            raise ValueError(
-                f"variable resolutions {shapes}: use the per-image (jagged) path"
-            )
-        out = {"images": np.stack(images, axis=0)}
+        sampling then happens on device (no host round-trips). Uses the
+        native C++ thread-pool decoder (nerfstudio_tpu.native) when built —
+        the host analog of the reference's ParallelDataManager workers —
+        falling back to PIL."""
+        stacked = self._load_all_native()
+        if stacked is None:
+            images = [self.get_numpy_image(i) for i in range(len(self))]
+            shapes = {im.shape for im in images}
+            if len(shapes) != 1:
+                raise ValueError(
+                    f"variable resolutions {shapes}: use the per-image (jagged) path"
+                )
+            stacked = np.stack(images, axis=0)
+        out = {"images": stacked}
         if self._dataparser_outputs.mask_filenames is not None:
             out["masks"] = np.stack([self.get_mask(i) for i in range(len(self))], axis=0)
         return out
