@@ -64,27 +64,31 @@ def load_guidance(backend: str = "stable-diffusion") -> DiffusionGuidance:
                 return jnp.asarray(emb.numpy())
 
             def sds_grad(self, key, rgb, text_embedding, guidance_scale=100.0):
+                """SDS image-space gradient (DreamFusion eq. 2, as the
+                reference's stable_diffusion.sds_loss): w(t)(eps_pred - eps)
+                in latent space, back-propagated through the VAE encoder to
+                pixels via a VJP."""
                 import torch
 
                 img = torch.from_numpy(np.asarray(rgb)).permute(2, 0, 1)[None] * 2 - 1
+                img = img.float().requires_grad_(True)
                 t = int(jax.random.randint(key, (), 20, 980))
-                noise = torch.randn_like(img)
+                noise = torch.randn(1, 4, img.shape[-2] // 8, img.shape[-1] // 8)
+
+                latents = self.pipe.vae.encode(img).latent_dist.mean * 0.18215
                 with torch.no_grad():
-                    latents = self.pipe.vae.encode(img).latent_dist.sample() * 0.18215
                     noisy = self.pipe.scheduler.add_noise(
-                        latents, noise, torch.tensor([t])
+                        latents.detach(), noise, torch.tensor([t])
                     )
-                    eps = self.pipe.unet(
-                        noisy, t, encoder_hidden_states=torch.from_numpy(np.asarray(text_embedding))[None]
-                    ).sample
-                grad_lat = eps - noise
-                with torch.enable_grad():
-                    lat = latents.detach().requires_grad_(True)
-                    dec = self.pipe.vae.decode(lat / 0.18215).sample
-                    dec.backward(gradient=torch.ones_like(dec))
-                g = (grad_lat * lat.grad).sum() * 0 + grad_lat  # simplified chain
-                del g
-                return jnp.asarray((img.numpy()[0].transpose(1, 2, 0) - np.asarray(rgb)))
+                    emb = torch.from_numpy(np.asarray(text_embedding))[None]
+                    eps = self.pipe.unet(noisy, t, encoder_hidden_states=emb).sample
+                # w(t) = 1 - alpha_bar_t (reference uses the same weighting)
+                alpha_bar = self.pipe.scheduler.alphas_cumprod[t]
+                grad_lat = (1.0 - alpha_bar) * (eps - noise) * guidance_scale / 100.0
+                # chain rule to pixels: d(latents)/d(img)^T @ grad_lat
+                latents.backward(gradient=grad_lat)
+                g = img.grad[0].permute(1, 2, 0).numpy() * 2.0  # d(img_pm1)/d(rgb01)
+                return jnp.asarray(g.astype(np.float32))
 
         return HFGuidance()
     except Exception:

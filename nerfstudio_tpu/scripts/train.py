@@ -18,6 +18,28 @@ import yaml
 
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
+    # multi-host (DCN) training: one controller per host, SPMD over the
+    # global mesh (replaces the reference's mp.spawn/DDP launcher,
+    # reference scripts/train.py:161-226). On TPU pods
+    # jax.distributed.initialize() auto-discovers the coordinator.
+    import os
+
+    if os.environ.get("NST_MULTIHOST", "0") == "1":
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("NST_COORDINATOR"),
+            num_processes=(
+                int(os.environ["NST_NUM_PROCESSES"])
+                if "NST_NUM_PROCESSES" in os.environ
+                else None
+            ),
+            process_id=(
+                int(os.environ["NST_PROCESS_ID"])
+                if "NST_PROCESS_ID" in os.environ
+                else None
+            ),
+        )
     from nerfstudio_tpu.configs.cli import apply_overrides, describe
     from nerfstudio_tpu.configs.method_configs import descriptions, get_method, method_configs
 
