@@ -118,8 +118,14 @@ class Cameras(TensorDataclass):
         fy = _as_f32(fy, batch + (1,))
         cx = _as_f32(cx, batch + (1,))
         cy = _as_f32(cy, batch + (1,))
-        if fx.ndim == len(batch):
-            fx, fy, cx, cy = fx[..., None], fy[..., None], cx[..., None], cy[..., None]
+        def _unsq(v):
+            # per-field: a (batch,) intrinsic needs its trailing 1 added, but
+            # one already shaped (batch, 1) (e.g. from a scalar) must not be
+            # unsqueezed again — mixing array fx with scalar cx previously
+            # produced a phantom (N, N) camera batch
+            return v[..., None] if v.ndim == len(batch) else v
+
+        fx, fy, cx, cy = _unsq(fx), _unsq(fy), _unsq(cx), _unsq(cy)
         if width is None:
             width = (cx * 2).astype(jnp.int32)
         elif isinstance(width, (int, np.integer)):

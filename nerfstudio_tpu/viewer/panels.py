@@ -63,12 +63,26 @@ class RenderPanel:
 
     def save_path_json(self, path: Path, resolution: int = 512, fps: int = 24,
                        seconds: float = 4.0) -> Path:
-        """Write a camera-path json compatible with nst-render camera-path
-        (reference render_panel's export to camera_path.json)."""
+        """Write a camera-path json consumable by ``nst-render camera-path``
+        (reference render_panel's export to camera_path.json): raw keyframes
+        plus the interpolated ``camera_path`` with 4x4 camera_to_world."""
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        n_frames = max(2, int(fps * seconds))
+        cam_path = []
+        if len(self.keyframes) >= 2:
+            for i, c2w in enumerate(self.interpolated_path(n_frames)):
+                m = np.eye(4, dtype=np.float32)
+                m[:3] = c2w
+                cam_path.append(
+                    {
+                        "camera_to_world": m.reshape(-1).tolist(),
+                        "fov": self.keyframes[0]["fov"],
+                    }
+                )
         payload = {
             "keyframes": self.keyframes,
+            "camera_path": cam_path,
             "render_height": resolution,
             "render_width": resolution,
             "fps": fps,
