@@ -203,6 +203,8 @@ class Trainer:
                 while getattr(self.viewer, "paused", False):
                     time.sleep(0.1)
 
+            if cfg.steps_per_eval_batch and step % cfg.steps_per_eval_batch == 0 and step > 0:
+                self.eval_batch_iteration(step)
             if cfg.steps_per_eval_image and step % cfg.steps_per_eval_image == 0 and step > 0:
                 self.eval_iteration(step)
             if (
@@ -218,6 +220,36 @@ class Trainer:
         self.save_checkpoint(cfg.max_num_iterations)
         self.writer.flush()
         print(f"training finished; checkpoints in {self.checkpoint_dir}")
+
+    def eval_batch_iteration(self, step: int) -> Dict[str, float]:
+        """Eval-ray-batch PSNR (reference trainer.py eval_iteration's
+        get_eval_loss_dict path): random pixels of a random eval image."""
+        from nerfstudio_tpu.model_components.ray_generators import (
+            generate_rays_from_indices,
+        )
+        from nerfstudio_tpu.utils.metrics import psnr
+
+        dm = self.pipeline.datamanager
+        n_eval = len(dm.eval_dataset)
+        rng = np.random.default_rng(step)
+        img_idx = int(rng.integers(n_eval))
+        gt = np.asarray(dm.eval_dataset.get_image_float32(img_idx))
+        h, w = gt.shape[:2]
+        n_rays = min(dm.config.eval_num_rays_per_batch, 1024)
+        rows = rng.integers(0, h, n_rays)
+        cols = rng.integers(0, w, n_rays)
+        idx = jnp.stack(
+            [jnp.full(n_rays, img_idx, jnp.int32), jnp.asarray(rows), jnp.asarray(cols)],
+            axis=-1,
+        )
+        rb = generate_rays_from_indices(dm.eval_cameras, idx)
+        if self.pipeline._eval_chunk is None:
+            self.pipeline.build_eval_chunk()
+        out = self.pipeline._eval_chunk(self.state.params, rb, self.state.aux)
+        pred = np.asarray(out["rgb"])
+        metrics = {"eval_batch_psnr": float(psnr(jnp.asarray(pred), jnp.asarray(gt[rows, cols])))}
+        self.writer.put_dict("eval_batch", metrics, step)
+        return metrics
 
     def eval_iteration(self, step: int) -> Dict[str, float]:
         """(reference trainer.py:533-567)"""

@@ -120,12 +120,12 @@ class MLPWithHashEncoding(nn.Module):
             out_activation=self.out_activation,
             name="mlp",
         )
-        if self.implementation == "pallas":
-            from nerfstudio_tpu.ops.fused_hash_mlp import fused_hash_mlp_available
-
-            if fused_hash_mlp_available():
-                # Pallas fused path: gather+trilerp+MLP in one kernel.
-                from nerfstudio_tpu.ops.fused_hash_mlp import apply_fused
-
-                return apply_fused(self, encoding, mlp, x)
+        # DESIGN NOTE (tcnn NetworkWithInputEncoding parity): the reference's
+        # fused CUDA kernel exists because GPU kernel-launch + global-memory
+        # round trips dominate; under XLA the encode->MLP composition is one
+        # fusion group already, and the gather itself is the measured wall
+        # (PERF.md). A Mosaic-level fused gather+trilerp kernel was explored
+        # and is blocked on dynamic_gather layout constraints (PERF.md
+        # roadmap, exp/pallas_gather.py) — until then the composed XLA path
+        # IS the TPU-native fused implementation.
         return mlp(encoding(x))

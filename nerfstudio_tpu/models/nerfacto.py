@@ -331,6 +331,12 @@ class NerfactoModel(Model):
             metrics["distortion"] = distortion_loss(
                 outputs["weights_list"], outputs["ray_samples_list"]
             )
+        if params is not None:
+            pose_adj = params["params"].get("camera_optimizer", {}).get("pose_adjustment")
+            if pose_adj is not None:
+                # (reference camera_optimizers.get_metrics_dict:191-208)
+                metrics["camera_opt_translation"] = jnp.linalg.norm(pose_adj[:, :3], axis=-1).mean()
+                metrics["camera_opt_rotation"] = jnp.linalg.norm(pose_adj[:, 3:], axis=-1).mean()
         return metrics
 
     @staticmethod

@@ -159,6 +159,53 @@ def render(c2w: np.ndarray, hw: int, focal: float) -> np.ndarray:
     return (np.concatenate([rgb, alpha[..., None]], axis=-1) * 255).astype(np.uint8)
 
 
+def _surface_color(p, n):
+    """Color of a surface point (matches render())."""
+    col = np.zeros(3)
+    for center, radius, base, col2 in SPHERES:
+        if abs(np.linalg.norm(p - center) - radius) < 1e-3:
+            nn = (p - center) / radius
+            if col2 is not None:
+                u = np.floor(4 * np.arctan2(nn[1], nn[0]) / np.pi)
+                v = np.floor(6 * np.arccos(np.clip(nn[2], -1, 1)) / np.pi)
+                col = col2 if (u + v) % 2 else base
+            else:
+                col = base
+            break
+    else:
+        checker = (np.floor(p[0] * 4) + np.floor(p[1] * 4)) % 2
+        col = np.array([0.85, 0.85, 0.85]) if checker else np.array([0.35, 0.35, 0.4])
+    ldir = LIGHT - p
+    ldir = ldir / np.linalg.norm(ldir)
+    lam = max(float(n @ ldir), 0.0)
+    shadow = bool(_shadowed(p[None])[0])
+    return np.clip(col * (0.25 + 0.75 * lam * (not shadow)), 0, 1)
+
+
+def sample_surface_points(n_points: int, rng) -> tuple:
+    """(points (N,3), colors uint8 (N,3)) on the scene surfaces — the
+    SfM-seed-point analog for splatfacto."""
+    pts, cols = [], []
+    areas = [4 * np.pi * r**2 for _, r, _, _ in SPHERES] + [np.pi * PLANE_R**2]
+    probs = np.asarray(areas) / np.sum(areas)
+    for _ in range(n_points):
+        k = rng.choice(len(probs), p=probs)
+        if k < len(SPHERES):
+            center, radius, _, _ = SPHERES[k]
+            v = rng.normal(size=3)
+            v /= np.linalg.norm(v)
+            p = center + radius * v
+            n = v
+        else:
+            rr = PLANE_R * np.sqrt(rng.uniform())
+            th = rng.uniform(0, 2 * np.pi)
+            p = np.array([rr * np.cos(th), rr * np.sin(th), GROUND_Z])
+            n = np.array([0.0, 0, 1])
+        pts.append(p)
+        cols.append((_surface_color(p, n) * 255).astype(np.uint8))
+    return np.asarray(pts, np.float32), np.asarray(cols, np.uint8)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("out", type=Path)
@@ -166,6 +213,8 @@ def main() -> None:
     ap.add_argument("--n-train", type=int, default=80)
     ap.add_argument("--n-test", type=int, default=10)
     ap.add_argument("--radius", type=float, default=2.6)
+    ap.add_argument("--n-points", type=int, default=30000,
+                    help="surface seed points written to points3D.ply")
     args = ap.parse_args()
 
     focal = args.hw * 1.1
@@ -192,7 +241,42 @@ def main() -> None:
         meta = {"camera_angle_x": 2 * np.arctan(args.hw / (2 * focal)), "frames": frames}
         with open(args.out / f"transforms_{split}.json", "w") as f:
             json.dump(meta, f)
-    print(f"wrote {args.out} ({args.n_train} train / {args.n_test} val+test @ {args.hw}px)")
+
+    # nerfstudio-format companion: one transforms.json over ALL frames with
+    # per-frame intrinsics + ground-truth surface seed points (the SfM-point
+    # analog for splatfacto)
+    rng_pts = np.random.default_rng(11)
+    pts, cols = sample_surface_points(args.n_points, rng_pts)
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from nerfstudio_tpu.exporter.ply_io import write_ply
+
+    write_ply(
+        args.out / "points3D.ply",
+        len(pts),
+        {
+            "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+            "red": cols[:, 0], "green": cols[:, 1], "blue": cols[:, 2],
+        },
+    )
+    ns_frames = []
+    for split in ("train", "val"):
+        with open(args.out / f"transforms_{split}.json") as f:
+            m = json.load(f)
+        for fr in m["frames"]:
+            ns_frames.append(
+                {"file_path": fr["file_path"].lstrip("./") + ".png",
+                 "transform_matrix": fr["transform_matrix"]}
+            )
+    ns_meta = {
+        "fl_x": focal, "fl_y": focal, "cx": args.hw / 2, "cy": args.hw / 2,
+        "w": args.hw, "h": args.hw, "camera_model": "OPENCV",
+        "frames": ns_frames, "ply_file_path": "points3D.ply",
+    }
+    with open(args.out / "transforms.json", "w") as f:
+        json.dump(ns_meta, f)
+    print(f"wrote {args.out} ({args.n_train} train / {args.n_test} val+test @ {args.hw}px, {len(pts)} seed points)")
 
 
 if __name__ == "__main__":
