@@ -14,6 +14,8 @@ setup(
             "nst-export=nerfstudio_tpu.scripts.exporter:entrypoint",
             "nst-download-data=nerfstudio_tpu.scripts.downloads.download_data:entrypoint",
             "nst-process-data=nerfstudio_tpu.scripts.process_data:entrypoint",
+            "nst-install-completions=nerfstudio_tpu.scripts.completions.install:entrypoint",
+            "nst-viewer=nerfstudio_tpu.scripts.viewer_script:entrypoint",
         ],
     },
 )
