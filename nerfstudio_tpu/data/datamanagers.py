@@ -55,6 +55,10 @@ class DataManagerConfig:
     camera_res_scale_factor: float = 1.0
     max_images_in_memory: Optional[int] = None
     steps_per_reload: int = 1000
+    # full-image camera ordering (reference full_images_datamanager.py:152-185
+    # fpsample k-d line FPS): "random" permutation or greedy farthest-point
+    # over camera positions for view-diverse early training
+    camera_sampling: Literal["random", "fps"] = "random"
 
 
 class DeviceCacheDataManager:
@@ -227,12 +231,27 @@ class FullImageDatamanager:
         self.train_cameras = cameras
         self.eval_cameras = self.eval_dataset.cameras
         self._rng = np.random.default_rng(seed)
-        self._perm = self._rng.permutation(len(train_dataset))
+        self._perm = self._next_order()
         self._cursor = 0
+
+    def _next_order(self) -> np.ndarray:
+        n = len(self.train_dataset)
+        if self.config.camera_sampling != "fps" or n <= 2:
+            return self._rng.permutation(n)
+        # greedy farthest-point ordering over camera positions (the
+        # reference's fpsample-based camera sampling)
+        pos = np.asarray(self.train_cameras.camera_to_worlds)[:, :3, 3]
+        order = [int(self._rng.integers(n))]
+        d = np.linalg.norm(pos - pos[order[0]], axis=-1)
+        for _ in range(n - 1):
+            nxt = int(np.argmax(d))
+            order.append(nxt)
+            d = np.minimum(d, np.linalg.norm(pos - pos[nxt], axis=-1))
+        return np.asarray(order)
 
     def next_train(self, step: int) -> Tuple[int, jnp.ndarray]:
         if self._cursor >= len(self._perm):
-            self._perm = self._rng.permutation(len(self.train_dataset))
+            self._perm = self._next_order()
             self._cursor = 0
         idx = int(self._perm[self._cursor])
         self._cursor += 1

@@ -169,3 +169,16 @@ def test_ply_roundtrip(tmp_path):
     xyz2, rgb2 = read_ply(tmp_path / "test.ply")
     assert np.allclose(xyz, xyz2, atol=1e-6)
     assert (rgb == rgb2).all()
+
+
+def test_full_image_fps_camera_sampling(blender_dir):
+    parser = BlenderDataParserConfig(data=blender_dir).setup()
+    ds = InputDataset(parser.get_dataparser_outputs("train"))
+    dm = FullImageDatamanager(DataManagerConfig(camera_sampling="fps"), ds)
+    order = [dm.next_train(s)[0] for s in range(len(ds))]
+    assert sorted(order) == list(range(len(ds)))  # a permutation
+    # consecutive fps picks must be far apart: the 2nd pick is the farthest
+    pos = np.asarray(dm.train_cameras.camera_to_worlds)[:, :3, 3]
+    d01 = np.linalg.norm(pos[order[1]] - pos[order[0]])
+    dists = np.linalg.norm(pos - pos[order[0]], axis=-1)
+    assert np.isclose(d01, dists.max())
