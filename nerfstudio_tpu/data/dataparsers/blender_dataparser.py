@@ -87,8 +87,13 @@ class Blender(DataParser):
         )
 
         metadata = {}
-        if self.config.ply_path is not None:
-            metadata.update(_load_3D_points(Path(self.config.ply_path), 1.0))
+        ply_path = self.config.ply_path
+        if ply_path is None and (data_dir / "points3D.ply").exists():
+            # auto-pick seed points written next to transforms.json (e.g. by
+            # tools/make_synthetic_dataset.py) so splatfacto seeds from them
+            ply_path = data_dir / "points3D.ply"
+        if ply_path is not None:
+            metadata.update(_load_3D_points(Path(ply_path), 1.0))
 
         return DataparserOutputs(
             image_filenames=image_filenames,

@@ -44,7 +44,11 @@ class SplatfactoModelConfig(ModelConfig):
     cull_alpha_thresh: float = 0.1
     cull_scale_thresh: float = 0.5
     reset_alpha_every: int = 30
-    densify_grad_thresh: float = 0.0008
+    # NOTE: the reference's 0.0008 assumes gsplat absgrad (sum of |per-pixel|
+    # screen grads, ~4x larger than the net gradient). Our densify stats probe
+    # the NET dL/dmeans2d, so the matching default is gsplat DefaultStrategy's
+    # non-absgrad grow_grad2d = 0.0002.
+    densify_grad_thresh: float = 0.0002
     densify_size_thresh: float = 0.01
     n_split_samples: int = 2
     cull_screen_size: float = 0.15

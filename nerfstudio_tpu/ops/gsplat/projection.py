@@ -57,53 +57,87 @@ def project_gaussians(
     valid (N,) bool, compensations (N,)).
     conic = inverse 2D covariance packed (a, b, c) for [[a,b],[b,c]].
     """
+    # Structure-of-arrays throughout: every intermediate is an (N,) lane-major
+    # array. Batched (N,3,3)/(N,2,3) einsums pad their trailing dims to the
+    # (8,128) TPU tile — a 6-7x measured slowdown (exp/proj_bench.py) — so the
+    # tiny per-gaussian matrix algebra is expanded by hand over components.
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    p_cam = means @ R.T + t  # (N, 3)
-    z = p_cam[..., 2]
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    px = R[0, 0] * mx + R[0, 1] * my + R[0, 2] * mz + t[0]
+    py = R[1, 0] * mx + R[1, 1] * my + R[1, 2] * mz + t[1]
+    z = R[2, 0] * mx + R[2, 1] * my + R[2, 2] * mz + t[2]
 
     # perspective project
     inv_z = 1.0 / jnp.maximum(z, 1e-6)
-    xs = p_cam[..., 0] * inv_z
-    ys = p_cam[..., 1] * inv_z
+    xs = px * inv_z
+    ys = py * inv_z
     means2d = jnp.stack([xs * fx + cx, ys * fy + cy], axis=-1)
 
-    # 3D cov in camera frame
-    cov3d = compute_cov3d(scales, quats)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R, precision="highest")
+    # 3D cov R_g S^2 R_g^T, component form
+    q = quats / jnp.maximum(jnp.linalg.norm(quats, axis=-1, keepdims=True), 1e-8)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    g00 = 1 - 2 * (qy * qy + qz * qz); g01 = 2 * (qx * qy - qw * qz); g02 = 2 * (qx * qz + qw * qy)
+    g10 = 2 * (qx * qy + qw * qz); g11 = 1 - 2 * (qx * qx + qz * qz); g12 = 2 * (qy * qz - qw * qx)
+    g20 = 2 * (qx * qz - qw * qy); g21 = 2 * (qy * qz + qw * qx); g22 = 1 - 2 * (qx * qx + qy * qy)
+    s0, s1, s2 = scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2
+    c00 = g00 * g00 * s0 + g01 * g01 * s1 + g02 * g02 * s2
+    c01 = g00 * g10 * s0 + g01 * g11 * s1 + g02 * g12 * s2
+    c02 = g00 * g20 * s0 + g01 * g21 * s1 + g02 * g22 * s2
+    c11 = g10 * g10 * s0 + g11 * g11 * s1 + g12 * g12 * s2
+    c12 = g10 * g20 * s0 + g11 * g21 * s1 + g12 * g22 * s2
+    c22 = g20 * g20 * s0 + g21 * g21 * s1 + g22 * g22 * s2
 
-    # EWA Jacobian (clip xs/ys to stabilize off-screen gaussians)
+    # camera-frame cov: V = R C R^T (R is the scalar 3x3 camera rotation).
+    # First A = R C (rows of R times C), then V = A R^T; only the upper
+    # triangle of V is needed.
+    def _rowA(r0, r1, r2):
+        a0 = r0 * c00 + r1 * c01 + r2 * c02
+        a1 = r0 * c01 + r1 * c11 + r2 * c12
+        a2 = r0 * c02 + r1 * c12 + r2 * c22
+        return a0, a1, a2
+
+    a00, a01, a02 = _rowA(R[0, 0], R[0, 1], R[0, 2])
+    a10, a11, a12 = _rowA(R[1, 0], R[1, 1], R[1, 2])
+    a20, a21, a22 = _rowA(R[2, 0], R[2, 1], R[2, 2])
+    v00 = a00 * R[0, 0] + a01 * R[0, 1] + a02 * R[0, 2]
+    v01 = a00 * R[1, 0] + a01 * R[1, 1] + a02 * R[1, 2]
+    v02 = a00 * R[2, 0] + a01 * R[2, 1] + a02 * R[2, 2]
+    v11 = a10 * R[1, 0] + a11 * R[1, 1] + a12 * R[1, 2]
+    v12 = a10 * R[2, 0] + a11 * R[2, 1] + a12 * R[2, 2]
+    v22 = a20 * R[2, 0] + a21 * R[2, 1] + a22 * R[2, 2]
+
+    # EWA Jacobian J = [[fx/z, 0, -fx tx/z], [0, fy/z, -fy ty/z]];
+    # cov2d = J V J^T expanded (clip xs/ys to stabilize off-screen gaussians)
     lim_x = 1.3 * (width / (2 * fx))
     lim_y = 1.3 * (height / (2 * fy))
     txz = jnp.clip(xs, -lim_x, lim_x)
     tyz = jnp.clip(ys, -lim_y, lim_y)
-    J = jnp.zeros(means.shape[:-1] + (2, 3))
-    J = J.at[..., 0, 0].set(fx * inv_z)
-    J = J.at[..., 0, 2].set(-fx * txz * inv_z)
-    J = J.at[..., 1, 1].set(fy * inv_z)
-    J = J.at[..., 1, 2].set(-fy * tyz * inv_z)
-    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J, precision="highest")
+    jx = fx * inv_z
+    jy = fy * inv_z
+    kx = -fx * txz * inv_z
+    ky = -fy * tyz * inv_z
+    # row0 = jx * V[0,:] + kx * V[2,:]; row1 = jy * V[1,:] + ky * V[2,:]
+    cov2d_00 = jx * (jx * v00 + kx * v02) + kx * (jx * v02 + kx * v22)
+    cov2d_01 = jy * (jx * v01 + kx * v12) + ky * (jx * v02 + kx * v22)
+    cov2d_11 = jy * (jy * v11 + ky * v12) + ky * (jy * v12 + ky * v22)
 
-    det_orig = cov2d[..., 0, 0] * cov2d[..., 1, 1] - cov2d[..., 0, 1] ** 2
-    cov2d = cov2d.at[..., 0, 0].add(eps2d)
-    cov2d = cov2d.at[..., 1, 1].add(eps2d)
-    det = cov2d[..., 0, 0] * cov2d[..., 1, 1] - cov2d[..., 0, 1] ** 2
+    det_orig = cov2d_00 * cov2d_11 - cov2d_01 ** 2
+    cov2d_00 = cov2d_00 + eps2d
+    cov2d_11 = cov2d_11 + eps2d
+    det = cov2d_00 * cov2d_11 - cov2d_01 ** 2
     det_safe = jnp.maximum(det, 1e-10)
     # antialiasing compensation (gsplat "antialiased" mode)
     compensations = jnp.sqrt(jnp.maximum(det_orig / det_safe, 0.0))
 
     inv_det = 1.0 / det_safe
     conics = jnp.stack(
-        [
-            cov2d[..., 1, 1] * inv_det,
-            -cov2d[..., 0, 1] * inv_det,
-            cov2d[..., 0, 0] * inv_det,
-        ],
+        [cov2d_11 * inv_det, -cov2d_01 * inv_det, cov2d_00 * inv_det],
         axis=-1,
     )
 
     # 3-sigma radius from max eigenvalue
-    b = 0.5 * (cov2d[..., 0, 0] + cov2d[..., 1, 1])
+    b = 0.5 * (cov2d_00 + cov2d_11)
     v1 = b + jnp.sqrt(jnp.maximum(b * b - det_safe, 0.01))
     radii = jnp.ceil(3.0 * jnp.sqrt(v1))
 

@@ -40,6 +40,13 @@ def means_lr_schedule(max_steps: int = 30000):
     )
 
 
+def means_lr_host(step: int, max_steps: int = 30000) -> float:
+    """Host-side (python) twin of means_lr_schedule: calling the optax
+    schedule with a python int builds a device computation whose float()
+    readback serializes every train-loop step."""
+    return 1.6e-4 * (1.6e-6 / 1.6e-4) ** (step / max_steps)
+
+
 def build_splat_optimizers(config: SplatfactoModelConfig, max_steps: int = 30000):
     """Per-array LRs (reference configs/method_configs.py splatfacto entry)."""
     means_sched = means_lr_schedule(max_steps)
@@ -68,7 +75,7 @@ class SplatPipeline:
         self.datamanager = datamanager
         self.model = model
         self.tx = build_splat_optimizers(model.config, max_steps)
-        self._means_lr = means_lr_schedule(max_steps)
+        self._means_lr = lambda step: means_lr_host(step, max_steps)
         self._train_step = None
         self._refine = None
 
@@ -298,24 +305,33 @@ class SplatPipeline:
             self.build_refine()
         dm = self.datamanager
         cams = dm.train_cameras
+        # hoist per-camera intrinsics to host numpy ONCE: reading jnp scalars
+        # inside the loop costs a device round trip per step (the tunneled
+        # runtime makes these milliseconds, serializing dispatch)
+        np_fx = np.asarray(cams.fx)[:, 0]
+        np_fy = np.asarray(cams.fy)[:, 0]
+        np_cx = np.asarray(cams.cx)[:, 0]
+        np_cy = np.asarray(cams.cy)[:, 0]
+        np_h = np.asarray(jnp.broadcast_to(cams.height, (len(np_fx), 1)))[:, 0]
+        np_w = np.asarray(jnp.broadcast_to(cams.width, (len(np_fx), 1)))[:, 0]
+        np_c2w = np.asarray(cams.camera_to_worlds)
 
         for step in range(int(state.step), num_iterations):
             cam_idx, image = dm.next_train(step)
             d = self.model.downscale_at(step)
-            c2w = cams.camera_to_worlds[cam_idx]
-            fx = cams.fx[cam_idx, 0] / d
-            fy = cams.fy[cam_idx, 0] / d
-            cx = cams.cx[cam_idx, 0] / d
-            cy = cams.cy[cam_idx, 0] / d
-            h = int(np.asarray(cams.height[cam_idx, 0])) // d
-            w = int(np.asarray(cams.width[cam_idx, 0])) // d
+            K = np.array(
+                [np_fx[cam_idx] / d, np_fy[cam_idx] / d, np_cx[cam_idx] / d, np_cy[cam_idx] / d],
+                np.float32,
+            )
+            h = int(np_h[cam_idx]) // d
+            w = int(np_w[cam_idx]) // d
             if d > 1:
                 image = jax.image.resize(image, (h, w, image.shape[-1]), "linear")
             key, k = jax.random.split(key)
             state, metrics = self._train_step(
-                state, c2w, jnp.stack([fx, fy, cx, cy]), image, k,
+                state, np_c2w[cam_idx], K, image, k,
                 width=w, height=h, sh_degree=self.model.sh_degree_at(step),
-                means_lr=float(self._means_lr(step)), cam_idx=cam_idx,
+                means_lr=self._means_lr(step), cam_idx=cam_idx,
             )
             if writer is not None and step % log_every == 0:
                 writer.put_dict("train", {k2: float(v) for k2, v in metrics.items()}, step)
@@ -355,9 +371,26 @@ class SplatPipeline:
         out = self.model.render(
             state.params, state.aux.alive, c2w, (fx, fy, cx, cy), w, h,
             sh_degree_active=self.model.config.sh_degree,
-            background=jnp.zeros(3) if self.model.config.background_color == "random" else None,
+            background=self._eval_background(),
         )
         return out
+
+    def _eval_background(self):
+        """Deterministic eval background. When the eval dataset pre-blends
+        RGBA over the dataparser's alpha_color (e.g. Blender white), the
+        render must composite over the SAME color or metrics compare a
+        black-background render against a white-background gt (reference
+        splatfacto.py:454-459 uses a fixed eval color + composites the gt
+        with it)."""
+        if self.model.config.background_color != "random":
+            return None  # model.render applies the configured color
+        ds = self.datamanager.eval_dataset
+        alpha_color = getattr(
+            getattr(ds, "_dataparser_outputs", None), "alpha_color", None
+        )
+        if alpha_color is not None:
+            return jnp.asarray(alpha_color, jnp.float32)
+        return jnp.zeros(3)
 
     def get_eval_image_metrics(self, state: SplatTrainState, camera_idx: int):
         out = self.render_eval_image(state, camera_idx)

@@ -6,6 +6,7 @@ Pure jnp functions — everything here is jit/vmap/grad-safe with static shapes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Literal, Tuple
 
 import jax
@@ -234,13 +235,47 @@ def random_quat(key: jax.Array, n: int) -> jnp.ndarray:
     )
 
 
-def k_nearest_neighbors(points: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact kNN distances via a blocked distance matrix (math.py:487-503's
-    sklearn call, done on-device; fine for 3DGS init sizes ~1e5-1e6)."""
-    d2 = columnwise_squared_l2_distance(points, points)
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def k_nearest_neighbors(
+    points: jnp.ndarray, k: int, block: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact kNN distances via a row-blocked distance matrix (math.py:487-503's
+    sklearn call, done on-device). Blocked + jitted so peak memory is
+    O(n*block), not O(n^2) eager temporaries — 3DGS init can seed from 1e6
+    SfM points on one chip."""
     n = points.shape[0]
-    d2 = d2.at[jnp.arange(n), jnp.arange(n)].set(jnp.inf)
-    neg_d, idx = jax.lax.top_k(-d2, k)
+    n_pad = (n + block - 1) // block * block
+    pts_p = jnp.concatenate(
+        [points, jnp.full((n_pad - n, points.shape[-1]), jnp.inf, points.dtype)], axis=0
+    )
+    sq = jnp.sum(points * points, axis=-1)  # (n,)
+
+    def row_block(args):
+        rows, row_start = args  # (block, 3), scalar
+        d2 = (
+            jnp.sum(rows * rows, axis=-1)[:, None]
+            + sq[None, :]
+            - 2.0 * rows @ points.T
+        )  # (block, n)
+        # mask self-distance
+        col = jnp.arange(n)[None, :]
+        row_ids = row_start + jnp.arange(block)[:, None]
+        d2 = jnp.where(col == row_ids, jnp.inf, d2)
+        _, idx = jax.lax.top_k(-d2, k)
+        # recompute exact distances for the winners: the matmul identity
+        # loses ~1e-3 absolute to f32 cancellation, which wrecks
+        # log(avg_dist) scale init for near-duplicate SfM points
+        nbr = points[idx]  # (block, k, 3)
+        exact = jnp.sum((rows[:, None, :] - nbr) ** 2, axis=-1)
+        return -exact, idx
+
+    nb = n_pad // block
+    neg_d, idx = jax.lax.map(
+        row_block,
+        (pts_p.reshape(nb, block, -1), jnp.arange(nb, dtype=jnp.int32) * block),
+    )
+    neg_d = neg_d.reshape(n_pad, k)[:n]
+    idx = idx.reshape(n_pad, k)[:n]
     return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), idx
 
 
