@@ -196,6 +196,7 @@ class Trainer:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 host_metrics["train_rays_per_sec"] = rays_per_sec
                 self.writer.put_dict("train", host_metrics, step)
+                self.last_host_metrics = host_metrics
 
             if self.viewer is not None:
                 self.viewer.update(self, step)

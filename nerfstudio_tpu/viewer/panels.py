@@ -28,7 +28,12 @@ class ControlPanelState:
     train_util: float = 0.9
     show_cameras: bool = False
     paused: bool = False
-    colormap_max: float = 5.0  # depth normalization
+    colormap: str = "turbo"  # turbo | viridis | gray
+    colormap_max: float = 5.0  # depth far normalization
+    depth_near: float = 0.0
+    invert_colormap: bool = False
+    background_color: str = "#000000"
+    time: float = 0.0  # dynamic-scene (dnerf) time slider
     crop_enabled: bool = False
     crop_min: tuple = (-1.0, -1.0, -1.0)
     crop_max: tuple = (1.0, 1.0, 1.0)
@@ -43,7 +48,13 @@ class ControlPanelState:
                     v = int(v)
                 elif isinstance(cur, float):
                     v = float(v)
+                elif isinstance(cur, tuple):
+                    v = tuple(float(x) for x in v)
                 setattr(self, k, v)
+
+    def background_rgb(self) -> tuple:
+        h = self.background_color.lstrip("#")
+        return tuple(int(h[i : i + 2], 16) / 255.0 for i in (0, 2, 4))
 
 
 class RenderPanel:
@@ -60,6 +71,11 @@ class RenderPanel:
 
     def clear(self) -> None:
         self.keyframes = []
+
+    def delete(self, index: int) -> int:
+        if 0 <= index < len(self.keyframes):
+            self.keyframes.pop(index)
+        return len(self.keyframes)
 
     def save_path_json(self, path: Path, resolution: int = 512, fps: int = 24,
                        seconds: float = 4.0) -> Path:
@@ -161,6 +177,22 @@ class ExportPanel:
                     from nerfstudio_tpu.scripts.exporter import write_splat_ply
 
                     write_splat_ply(state.params, np.asarray(state.aux.alive), out / "splat.ply")
+                elif kind == "cameras":
+                    # reference exporter.py ExportCameraPoses
+                    cams = viewer.pipeline.datamanager.train_cameras
+                    c2ws = np.asarray(cams.camera_to_worlds)
+                    payload = [
+                        {"camera_to_world": np.vstack([c, [0, 0, 0, 1]]).tolist()}
+                        for c in c2ws
+                    ]
+                    with open(out / "transforms_train.json", "w", encoding="utf-8") as f:
+                        json.dump(payload, f, indent=2)
+                elif kind == "tsdf":
+                    from nerfstudio_tpu.exporter.tsdf_utils import export_tsdf_mesh
+
+                    export_tsdf_mesh(
+                        viewer.pipeline, state, out, resolution=128, num_views=12
+                    )
                 elif kind == "pointcloud":
                     from nerfstudio_tpu.exporter.exporter_utils import generate_point_cloud
                     from nerfstudio_tpu.exporter.ply_io import write_ply

@@ -53,6 +53,9 @@ class Viewer:
         self._loop = None
         self._stop = False
         self.stats = {"step": 0, "rays_per_sec": 0.0}
+        self._last_stats_ts = 0.0
+        self._snapshot_requested = False
+        self._snap_status = ""
         # panels (reference control/render/export panels)
         from nerfstudio_tpu.viewer.panels import ControlPanelState, ExportPanel, RenderPanel
 
@@ -82,6 +85,16 @@ class Viewer:
     def update(self, trainer, step: int) -> None:
         """Called by the trainer each iteration (reference trainer.py:374)."""
         self.stats["step"] = step
+        m = getattr(trainer, "last_host_metrics", None)
+        if m:
+            self.stats["loss"] = m.get("loss")
+            self.stats["rays_per_sec"] = m.get("train_rays_per_sec", 0.0)
+            if "num_alive" in m:
+                self.stats["num_gaussians"] = m["num_alive"]
+        now = time.time()
+        if self._clients and now - self._last_stats_ts > 1.0:
+            self._last_stats_ts = now
+            self._send({"type": "stats", **{k: v for k, v in self.stats.items() if v is not None}})
 
     # -- websocket server ---------------------------------------------------
     def _run_ws(self) -> None:
@@ -110,6 +123,23 @@ class Viewer:
                     elif mtype == "keyframe_clear":
                         self.render_panel.clear()
                         self._send({"type": "panel", "keyframes": 0})
+                    elif mtype == "keyframe_delete":
+                        n = self.render_panel.delete(int(msg.get("index", -1)))
+                        self._send({"type": "panel", "keyframes": n})
+                    elif mtype == "path_save":
+                        try:
+                            p = self.render_panel.save_path_json(
+                                self.output_dir / "camera_path.json",
+                                resolution=int(msg.get("resolution", 512)),
+                                fps=int(msg.get("fps", 24)),
+                                seconds=float(msg.get("seconds", 4.0)),
+                            )
+                            self.render_panel.status = f"saved: {p}"
+                        except Exception as e:  # noqa: BLE001
+                            self.render_panel.status = f"error: {e}"
+                    elif mtype == "snapshot":
+                        self._snapshot_requested = True
+                        self._dirty.set()
                     elif mtype == "render_path":
                         self.render_panel.render_path_async(
                             self,
@@ -119,7 +149,8 @@ class Viewer:
                         )
                     elif mtype == "export":
                         self.export_panel.export_async(
-                            self, msg.get("kind", "pointcloud"), self.output_dir / "exports"
+                            self, msg.get("kind", "pointcloud"), self.output_dir / "exports",
+                            num_points=int(msg.get("num_points", 200000)),
                         )
             finally:
                 self._clients.discard(ws)
@@ -173,28 +204,69 @@ class Viewer:
 
     # -- shared render entry (also used by the render panel) -----------------
     def render_view(self, cam, res: int) -> np.ndarray:
-        """Render one camera -> (res, res, 3) float rgb in [0,1]."""
+        """Render one camera -> (res, res, 3) float rgb in [0,1], applying the
+        control panel's output/colormap/crop/background/time settings
+        (reference control_panel.py output selection + colormap options)."""
+        import jax.numpy as jnp
+
         state = self.state_getter()
+        ctl = self.control
         focal = float(np.asarray(cam.fx).reshape(-1)[0])
         if hasattr(self.pipeline, "model") and hasattr(self.pipeline.model, "render"):
+            alive = state.aux.alive
+            if ctl.crop_enabled:
+                # crop the splat scene to the OBB (reference splatfacto crop_box)
+                means = state.params["means"]
+                mn = jnp.asarray(ctl.crop_min)
+                mx = jnp.asarray(ctl.crop_max)
+                inside = jnp.all((means >= mn) & (means <= mx), axis=-1)
+                alive = alive & inside
             out = self.pipeline.model.render(
-                state.params, state.aux.alive, np.asarray(cam.camera_to_worlds)[0],
+                state.params, alive, np.asarray(cam.camera_to_worlds)[0],
                 (focal, focal, res / 2, res / 2), res, res,
                 sh_degree_active=self.pipeline.model.config.sh_degree,
+                background=jnp.asarray(ctl.background_rgb(), jnp.float32),
             )
         else:
+            if getattr(self.pipeline.datamanager.train_cameras, "times", None) is not None:
+                from nerfstudio_tpu.cameras.cameras import Cameras
+
+                cam = Cameras(
+                    camera_to_worlds=cam.camera_to_worlds,
+                    fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                    width=cam.width, height=cam.height,
+                    times=np.full((1, 1), ctl.time, np.float32),
+                )
             out = self.pipeline.render_camera(
                 state.params, cam, 0, chunk_size=res * res,
                 aux=getattr(state, "aux", None),
             )
-        sel = self.control.output_type
+        sel = ctl.output_type
         if sel == "depth" and "depth" in out:
-            d = np.asarray(out["depth"])[..., 0] / max(self.control.colormap_max, 1e-6)
-            rgb = np.repeat(np.clip(d, 0, 1)[..., None], 3, axis=-1)
+            from nerfstudio_tpu.utils.colormaps import apply_depth_colormap
+
+            d = out["depth"]
+            if d.ndim == 2:
+                d = d[..., None]
+            if ctl.invert_colormap:
+                d = -d
+            acc = out.get("accumulation")
+            if acc is not None and acc.ndim == 2:
+                acc = acc[..., None]
+            rgb = np.asarray(
+                apply_depth_colormap(
+                    d, accumulation=acc,
+                    near_plane=ctl.depth_near, far_plane=ctl.colormap_max,
+                    colormap=ctl.colormap,
+                )
+            )
         elif sel == "accumulation" and "accumulation" in out:
-            a = np.asarray(out["accumulation"])
-            a = a[..., 0] if a.ndim == 3 else a
-            rgb = np.repeat(np.clip(a, 0, 1)[..., None], 3, axis=-1)
+            from nerfstudio_tpu.utils.colormaps import apply_colormap
+
+            a = out["accumulation"]
+            if a.ndim == 2:
+                a = a[..., None]
+            rgb = np.asarray(apply_colormap(a, colormap=ctl.colormap))
         else:
             rgb = np.asarray(out["rgb"])
         return rgb
@@ -230,6 +302,13 @@ class Viewer:
                         frame, self.camera_pose, focal, train_c2ws
                     )
                 img = Image.fromarray(frame)
+                if self._snapshot_requested:
+                    self._snapshot_requested = False
+                    snap_dir = self.output_dir / "snapshots"
+                    snap_dir.mkdir(parents=True, exist_ok=True)
+                    p = snap_dir / f"snapshot_{int(time.time())}_{self.stats['step']}.png"
+                    img.save(p)
+                    self._snap_status = f"saved {p.name}"
                 buf = io.BytesIO()
                 img.save(buf, format="JPEG", quality=80)
                 self._send(
@@ -241,6 +320,7 @@ class Viewer:
                         "step": self.stats["step"],
                         "render_status": self.render_panel.status,
                         "export_status": self.export_panel.status,
+                        "snap_status": self._snap_status,
                         "paused": self.control.paused,
                     }
                 )
