@@ -45,10 +45,12 @@ class SplatfactoModelConfig(ModelConfig):
     cull_scale_thresh: float = 0.5
     reset_alpha_every: int = 30
     # NOTE: the reference's 0.0008 assumes gsplat absgrad (sum of |per-pixel|
-    # screen grads, ~4x larger than the net gradient). Our densify stats probe
-    # the NET dL/dmeans2d, so the matching default is gsplat DefaultStrategy's
-    # non-absgrad grow_grad2d = 0.0002.
-    densify_grad_thresh: float = 0.0002
+    # screen grads, ~4x larger than the net gradient our probe records).
+    # gsplat's non-absgrad default is 0.0002, but with the bounded-budget
+    # rasterizer that over-densifies straight to max_gaussians (measured:
+    # eval PSNR 17.4 @ 13k splats vs 11.1 @ 150k on the synthetic gate);
+    # 0.0005 keeps growth selective.
+    densify_grad_thresh: float = 0.0005
     densify_size_thresh: float = 0.01
     n_split_samples: int = 2
     cull_screen_size: float = 0.15
@@ -83,7 +85,7 @@ class SplatfactoModelConfig(ModelConfig):
     max_gaussians: int = 300000
     max_refine_new: int = 8192  # slots grown per refine step (static)
     tiles_per_gauss: int = 16
-    max_per_tile: int = 256
+    max_per_tile: int = 512
     tile_chunk: int = 64
     near_plane: float = 0.01
 
@@ -97,7 +99,7 @@ class SplatAux:
     alive: jnp.ndarray  # (N,) bool
     grad_accum: jnp.ndarray  # (N,) accumulated ||dL/dmeans2d||
     grad_count: jnp.ndarray  # (N,) #views where visible
-    max_radii: jnp.ndarray  # (N,) max screen radius seen (pixels)
+    max_radii: jnp.ndarray  # (N,) max screen radius seen (fraction of max image dim)
 
 
 def init_gaussian_params(
@@ -306,6 +308,7 @@ class SplatfactoModel:
         do_split: bool,
         do_cull_scale: bool,
         reset_alpha: bool,
+        use_screen_size: bool = False,
     ):
         """One densify/cull pass over the padded arrays
         (gsplat DefaultStrategy semantics; reference splatfacto.py:262-295)."""
@@ -320,7 +323,13 @@ class SplatfactoModel:
         high_grad = (avg_grad > cfg.densify_grad_thresh) & aux.alive
         is_small = max_scale <= cfg.densify_size_thresh * self.scene_scale
         clone_mask = high_grad & is_small
-        split_mask = high_grad & (~is_small) & jnp.asarray(do_split)
+        # screen-size split: a gaussian covering > split_screen_size of the
+        # image splits even if world-small (reference split_gaussians'
+        # max_2Dsize criterion, active until stop_screen_size_at)
+        big_for_split = ~is_small
+        if use_screen_size:
+            big_for_split = big_for_split | (aux.max_radii > cfg.split_screen_size)
+        split_mask = high_grad & big_for_split & jnp.asarray(do_split)
 
         # culling (reference cull_gaussians); small margin so gaussians sitting
         # exactly at the init opacity (= threshold) are not rounded to death
@@ -328,6 +337,9 @@ class SplatfactoModel:
         cull = aux.alive & (opac < cfg.cull_alpha_thresh - 1e-4)
         if do_cull_scale:
             cull = cull | (aux.alive & (max_scale > cfg.cull_scale_thresh * self.scene_scale))
+        if use_screen_size:
+            # huge-on-screen floaters (reference cull_gaussians' cull_screen_size)
+            cull = cull | (aux.alive & (aux.max_radii > cfg.cull_screen_size))
         alive = aux.alive & (~cull)
 
         # candidate selection: top-M by grad score among clone|split

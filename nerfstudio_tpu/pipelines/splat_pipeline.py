@@ -173,7 +173,9 @@ class SplatPipeline:
                 alive=aux.alive,
                 grad_accum=aux.grad_accum + jnp.where(visible, g_norm, 0.0),
                 grad_count=aux.grad_count + visible.astype(jnp.float32),
-                max_radii=jnp.maximum(aux.max_radii, outputs["radii"]),
+                max_radii=jnp.maximum(
+                    aux.max_radii, outputs["radii"] / float(max(width, height))
+                ),
             )
             new_state = SplatTrainState(
                 params=new_params, opt_state=new_opt_state, aux=new_aux, step=state.step + 1
@@ -207,12 +209,15 @@ class SplatPipeline:
         else:
 
             @functools.partial(
-                jax.jit, static_argnames=("do_split", "do_cull_scale", "reset_alpha")
+                jax.jit,
+                static_argnames=("do_split", "do_cull_scale", "reset_alpha", "use_screen_size"),
             )
-            def refine(state: SplatTrainState, key, do_split, do_cull_scale, reset_alpha):
+            def refine(state: SplatTrainState, key, do_split, do_cull_scale, reset_alpha,
+                       use_screen_size=False):
                 params, opt_state, aux = model.refine(
                     state.params, state.opt_state, state.aux, key,
                     do_split=do_split, do_cull_scale=do_cull_scale, reset_alpha=reset_alpha,
+                    use_screen_size=use_screen_size,
                 )
                 return SplatTrainState(
                     params=params, opt_state=opt_state, aux=aux, step=state.step
@@ -352,6 +357,11 @@ class SplatPipeline:
                         do_split=step < cfg.stop_split_at,
                         do_cull_scale=step > reset_period,
                         reset_alpha=do_reset,
+                        # screen-size cull/split window (reference: after the
+                        # first reset period, until stop_screen_size_at)
+                        use_screen_size=(
+                            step > reset_period and step < cfg.stop_screen_size_at
+                        ),
                     )
 
             if ckpt_dir is not None and steps_per_save and (step + 1) % steps_per_save == 0:
