@@ -1,10 +1,11 @@
-"""Score-distillation guidance for text-to-3D (reference:
-nerfstudio/generative/stable_diffusion.py (330 LoC), deepfloyd.py (248),
-positional_text_embeddings.py (121)).
+"""Score-distillation guidance facade for text-to-3D.
 
-The diffusion backbone loads from HuggingFace when weights are available
-locally (zero-egress environments fall back to a gaussian-score stub so the
-generfacto pipeline stays runnable/testable end-to-end)."""
+Backends: generative/stable_diffusion.py (latent SDS), generative/deepfloyd.py
+(pixel SDS) — both gated on local HF weights; the pure-jax noise/guidance math
+lives in generative/schedules.py and the view-dependent prompting in
+generative/positional_text_embeddings.py (mirroring the reference's module
+split). Zero-egress environments fall back to a gaussian-score stub so the
+generfacto pipeline stays runnable/testable end-to-end."""
 
 from __future__ import annotations
 
@@ -44,77 +45,28 @@ class StubGuidance(DiffusionGuidance):
 
 
 def load_guidance(backend: str = "stable-diffusion") -> DiffusionGuidance:
-    """Try HF diffusion weights; fall back to the stub (zero-egress safe)."""
-    try:  # pragma: no cover - requires local HF cache
-        import torch  # noqa: F401
-        from diffusers import StableDiffusionPipeline  # type: ignore
+    """Pick the best available backend (reference generfacto's
+    diffusion_model switch); stub when no local weights exist."""
+    try:  # pragma: no cover - requires diffusers + local HF cache
+        if backend == "deepfloyd":
+            from nerfstudio_tpu.generative.deepfloyd import DeepFloyd
 
-        class HFGuidance(DiffusionGuidance):
-            def __init__(self):
-                self.pipe = StableDiffusionPipeline.from_pretrained(
-                    "runwayml/stable-diffusion-v1-5", local_files_only=True
-                )
+            return DeepFloyd()
+        from nerfstudio_tpu.generative.stable_diffusion import StableDiffusion
 
-            def text_embedding(self, prompt, negative_prompt=""):
-                import torch
-
-                tok = self.pipe.tokenizer(prompt, return_tensors="pt", padding="max_length")
-                with torch.no_grad():
-                    emb = self.pipe.text_encoder(tok.input_ids)[0]
-                return jnp.asarray(emb.numpy())
-
-            def sds_grad(self, key, rgb, text_embedding, guidance_scale=100.0):
-                """SDS image-space gradient (DreamFusion eq. 2, as the
-                reference's stable_diffusion.sds_loss): w(t)(eps_pred - eps)
-                in latent space, back-propagated through the VAE encoder to
-                pixels via a VJP."""
-                import torch
-
-                img = torch.from_numpy(np.asarray(rgb)).permute(2, 0, 1)[None] * 2 - 1
-                img = img.float().requires_grad_(True)
-                t = int(jax.random.randint(key, (), 20, 980))
-                noise = torch.randn(1, 4, img.shape[-2] // 8, img.shape[-1] // 8)
-
-                latents = self.pipe.vae.encode(img).latent_dist.mean * 0.18215
-                with torch.no_grad():
-                    noisy = self.pipe.scheduler.add_noise(
-                        latents.detach(), noise, torch.tensor([t])
-                    )
-                    emb = torch.from_numpy(np.asarray(text_embedding))[None]
-                    eps = self.pipe.unet(noisy, t, encoder_hidden_states=emb).sample
-                # w(t) = 1 - alpha_bar_t (reference uses the same weighting)
-                alpha_bar = self.pipe.scheduler.alphas_cumprod[t]
-                grad_lat = (1.0 - alpha_bar) * (eps - noise) * guidance_scale / 100.0
-                # chain rule to pixels: d(latents)/d(img)^T @ grad_lat
-                latents.backward(gradient=grad_lat)
-                g = img.grad[0].permute(1, 2, 0).numpy() * 2.0  # d(img_pm1)/d(rgb01)
-                return jnp.asarray(g.astype(np.float32))
-
-        return HFGuidance()
+        return StableDiffusion()
     except Exception:
         return StubGuidance()
 
 
-@dataclasses.dataclass
-class PositionalTextEmbeddings:
-    """View-dependent prompt suffixes: "front/side/back/top view"
-    (reference positional_text_embeddings.py:30-121)."""
+# re-exported for API parity with the reference module layout
+from nerfstudio_tpu.generative.positional_text_embeddings import (  # noqa: E402
+    PositionalTextEmbeddings,
+)
 
-    guidance: DiffusionGuidance
-    base_prompt: str = "a photo of an object"
-
-    def __post_init__(self):
-        self.embeddings = {
-            d: self.guidance.text_embedding(f"{self.base_prompt}, {d} view")
-            for d in ("front", "side", "back", "top")
-        }
-
-    def get(self, vertical_angle: float, horizontal_angle: float):
-        if vertical_angle > 60:
-            return self.embeddings["top"]
-        h = horizontal_angle % 360
-        if h < 45 or h > 315:
-            return self.embeddings["front"]
-        if 135 < h < 225:
-            return self.embeddings["back"]
-        return self.embeddings["side"]
+__all__ = [
+    "DiffusionGuidance",
+    "StubGuidance",
+    "load_guidance",
+    "PositionalTextEmbeddings",
+]
