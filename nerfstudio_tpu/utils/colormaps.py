@@ -24,6 +24,21 @@ _TURBO = np.array(
     dtype=np.float32,
 )
 
+# viridis anchors (matplotlib-compatible, 16 stops)
+_VIRIDIS = np.array(
+    [
+        [0.26700, 0.00487, 0.32942], [0.28192, 0.08966, 0.41241],
+        [0.28026, 0.16560, 0.47699], [0.26366, 0.23763, 0.51877],
+        [0.23744, 0.30500, 0.54192], [0.20862, 0.36775, 0.55267],
+        [0.18225, 0.42618, 0.55711], [0.15870, 0.48237, 0.55789],
+        [0.13777, 0.53780, 0.55459], [0.12115, 0.59274, 0.54465],
+        [0.12808, 0.64775, 0.52345], [0.18065, 0.70140, 0.48819],
+        [0.27415, 0.75198, 0.43686], [0.39517, 0.79747, 0.36775],
+        [0.53561, 0.83578, 0.28188], [0.68895, 0.86545, 0.18272],
+    ],
+    dtype=np.float32,
+)
+
 
 def apply_colormap(
     image: jnp.ndarray,
@@ -38,11 +53,12 @@ def apply_colormap(
     if normalize:
         x = (x - x.min()) / jnp.maximum(x.max() - x.min(), eps)
     x = jnp.clip(x, 0.0, 1.0)
-    if colormap == "gray" or colormap == "default" and False:
+    if colormap == "gray":
         return jnp.repeat(x[..., None], 3, axis=-1)
-    anchors = jnp.asarray(_TURBO)
-    t = x * (len(_TURBO) - 1)
-    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, len(_TURBO) - 2)
+    anchors = jnp.asarray(_VIRIDIS if colormap == "viridis" else _TURBO)
+    n = anchors.shape[0]
+    t = x * (n - 1)
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
     frac = (t - i0)[..., None]
     return anchors[i0] * (1 - frac) + anchors[i0 + 1] * frac
 
