@@ -26,74 +26,49 @@ def unit_vector(data, axis: Optional[int] = None):
     return data / length
 
 
-def quaternion_from_matrix(matrix, isprecise: bool = False) -> np.ndarray:
-    """Rotation matrix -> quaternion wxyz (reference :64-121)."""
-    M = np.asarray(matrix, dtype=np.float64)[:4, :4]
-    if isprecise:
-        q = np.empty((4,))
-        t = np.trace(M)
-        if t > M[3, 3]:
-            q[0] = t
-            q[3] = M[1, 0] - M[0, 1]
-            q[2] = M[0, 2] - M[2, 0]
-            q[1] = M[2, 1] - M[1, 2]
-        else:
-            i, j, k = 0, 1, 2
-            if M[1, 1] > M[0, 0]:
-                i, j, k = 1, 2, 0
-            if M[2, 2] > M[i, i]:
-                i, j, k = 2, 0, 1
-            t = M[i, i] - (M[j, j] + M[k, k]) + M[3, 3]
-            q[i] = t
-            q[j] = M[i, j] + M[j, i]
-            q[k] = M[k, i] + M[i, k]
-            q[3] = M[k, j] - M[j, k]
-            q = q[[3, 0, 1, 2]]
-        q *= 0.5 / math.sqrt(t * M[3, 3])
-    else:
-        m00, m01, m02 = M[0, 0], M[0, 1], M[0, 2]
-        m10, m11, m12 = M[1, 0], M[1, 1], M[1, 2]
-        m20, m21, m22 = M[2, 0], M[2, 1], M[2, 2]
-        K = (
-            np.array(
-                [
-                    [m00 - m11 - m22, 0.0, 0.0, 0.0],
-                    [m01 + m10, m11 - m00 - m22, 0.0, 0.0],
-                    [m02 + m20, m12 + m21, m22 - m00 - m11, 0.0],
-                    [m21 - m12, m02 - m20, m10 - m01, m00 + m11 + m22],
-                ]
-            )
-            / 3.0
-        )
-        w, V = np.linalg.eigh(K)
-        q = V[[3, 0, 1, 2], np.argmax(w)]
-    if q[0] < 0.0:
-        np.negative(q, q)
-    return q
+def quaternion_from_matrix(matrix) -> np.ndarray:
+    """Rotation matrix -> quaternion wxyz via the Bar-Itzhack eigenvalue
+    method: the unit quaternion is the dominant eigenvector of the symmetric
+    4x4 K matrix built from R (also robust to slightly non-orthonormal
+    input). Replaces the reference's transformations.py-vendored routine
+    (reference camera_utils.py:64-121) with the textbook construction."""
+    R = np.asarray(matrix, dtype=np.float64)[:3, :3]
+    Km = np.empty((4, 4))
+    # order (x, y, z, w)
+    Km[0, 0] = R[0, 0] - R[1, 1] - R[2, 2]
+    Km[1, 1] = R[1, 1] - R[0, 0] - R[2, 2]
+    Km[2, 2] = R[2, 2] - R[0, 0] - R[1, 1]
+    Km[3, 3] = R[0, 0] + R[1, 1] + R[2, 2]
+    Km[0, 1] = Km[1, 0] = R[0, 1] + R[1, 0]
+    Km[0, 2] = Km[2, 0] = R[0, 2] + R[2, 0]
+    Km[1, 2] = Km[2, 1] = R[1, 2] + R[2, 1]
+    Km[0, 3] = Km[3, 0] = R[2, 1] - R[1, 2]
+    Km[1, 3] = Km[3, 1] = R[0, 2] - R[2, 0]
+    Km[2, 3] = Km[3, 2] = R[1, 0] - R[0, 1]
+    Km /= 3.0
+    eigvals, eigvecs = np.linalg.eigh(Km)
+    q = eigvecs[:, np.argmax(eigvals)]  # (x, y, z, w)
+    q = q[[3, 0, 1, 2]]  # -> wxyz
+    return q if q[0] >= 0.0 else -q
 
 
-def quaternion_slerp(quat0, quat1, fraction: float, spin: int = 0, shortestpath: bool = True) -> np.ndarray:
-    """Spherical linear interpolation (reference :124-160)."""
-    q0 = unit_vector(quat0[:4])
-    q1 = unit_vector(quat1[:4])
-    if fraction == 0.0:
-        return q0
-    if fraction == 1.0:
-        return q1
-    d = np.dot(q0, q1)
-    if abs(abs(d) - 1.0) < _EPS:
-        return q0
+def quaternion_slerp(quat0, quat1, fraction: float, shortestpath: bool = True) -> np.ndarray:
+    """Spherical linear interpolation from the definition:
+    slerp(q0, q1, t) = [sin((1-t)θ) q0 + sin(tθ) q1] / sin(θ), cos θ = q0·q1
+    (reference camera_utils.py:124-160)."""
+    q0 = unit_vector(np.asarray(quat0, np.float64)[:4])
+    q1 = unit_vector(np.asarray(quat1, np.float64)[:4])
+    d = float(np.dot(q0, q1))
     if shortestpath and d < 0.0:
-        d = -d
-        np.negative(q1, q1)
-    angle = math.acos(np.clip(d, -1, 1)) + spin * math.pi
-    if abs(angle) < _EPS:
-        return q0
-    isin = 1.0 / math.sin(angle)
-    q0 *= math.sin((1.0 - fraction) * angle) * isin
-    q1 *= math.sin(fraction * angle) * isin
-    q0 += q1
-    return q0
+        d, q1 = -d, -q1
+    d = min(max(d, -1.0), 1.0)
+    theta = math.acos(d)
+    if theta < _EPS:  # nearly parallel: lerp is exact enough
+        out = (1.0 - fraction) * q0 + fraction * q1
+        return out / np.linalg.norm(out)
+    return (
+        math.sin((1.0 - fraction) * theta) * q0 + math.sin(fraction * theta) * q1
+    ) / math.sin(theta)
 
 
 def quaternion_matrix(quaternion) -> np.ndarray:

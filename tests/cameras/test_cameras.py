@@ -148,3 +148,27 @@ def test_jagged_resolutions():
     assert cams.is_jagged
     rb = cams.generate_rays(camera_indices=1)
     assert rb.origins.shape == (20, 20, 3)
+
+
+def test_quaternion_vs_scipy():
+    """quaternion_from_matrix + slerp agree with scipy's Rotation/Slerp."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation, Slerp
+
+    from nerfstudio_tpu.cameras.camera_utils import (
+        quaternion_from_matrix,
+        quaternion_matrix,
+        quaternion_slerp,
+    )
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        R0, R1 = Rotation.random(2, rng).as_matrix()
+        q0 = quaternion_from_matrix(R0)
+        q1 = quaternion_from_matrix(R1)
+        assert np.abs(quaternion_matrix(q0)[:3, :3] - R0).max() < 1e-12
+        t = float(rng.uniform())
+        qs = quaternion_slerp(q0, q1, t)
+        Rs = Slerp([0, 1], Rotation.from_matrix([R0, R1]))(t).as_matrix()
+        Rq = quaternion_matrix(qs)[:3, :3]
+        assert np.abs(Rq - Rs).max() < 1e-12
