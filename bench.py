@@ -27,7 +27,9 @@ def main() -> None:
     from nerfstudio_tpu.models.nerfacto import NerfactoModel
     from nerfstudio_tpu.pipelines.base_pipeline import VanillaPipeline
 
-    rays_per_batch = 8192
+    import os
+
+    rays_per_batch = int(os.environ.get("NST_BENCH_RAYS", "8192"))
     cfg, dm, model_train, model_eval = _synthetic_setup(
         hw=128, n_images=16, rays=rays_per_batch, tiny=False
     )

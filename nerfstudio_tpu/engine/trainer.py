@@ -136,9 +136,17 @@ class Trainer:
         except ValueError:
             if "aux" not in template:
                 raise
-            # older checkpoint without aux: restore what exists, re-init aux
+            # checkpoint without aux, or aux whose structure drifted across
+            # versions: restore everything else (strict=False ignores on-disk
+            # keys absent from the template) and keep the freshly-built aux
             template.pop("aux", None)
-            restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+            restored = mgr.restore(
+                step, args=ocp.args.StandardRestore(template, strict=False)
+            )
+            print(
+                "warning: checkpoint aux state incompatible with this version; "
+                "re-initialized (sampling state rebuilds over the next updates)"
+            )
         self.state = TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],

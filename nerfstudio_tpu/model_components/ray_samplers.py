@@ -248,8 +248,11 @@ class ProposalNetworkSampler:
     num_initial_probes: int = 192
 
     def __post_init__(self):
-        if self.num_proposal_network_iterations < 1:
-            raise ValueError("num_proposal_network_iterations must be >= 1")
+        if self.num_proposal_network_iterations < 1 and self.initial_weights_fn is None:
+            raise ValueError(
+                "num_proposal_network_iterations must be >= 1 unless a net-free "
+                "initial_weights_fn (occupancy grid) drives the sampling"
+            )
 
     def __call__(
         self,

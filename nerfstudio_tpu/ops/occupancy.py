@@ -36,15 +36,29 @@ class OccupancyGridState:
 
     densities: jnp.ndarray  # (res^3,) EMA of density * step_size
     binary: jnp.ndarray  # (res^3,) bool
+    # row-packed probe view: (res^2, 128) f32 1.0/0.0; row = x*res+y, lane = z
+    # (z-column per row). Probing gathers whole rows (~2.4 ns/access on v5e)
+    # instead of single bools (~10 ns) — see PERF.md.
+    binary_rows: jnp.ndarray
     aabb: jnp.ndarray  # (2, 3)
     resolution: int = flax.struct.field(pytree_node=False, default=128)
 
 
+def _pack_binary_rows(binary: jnp.ndarray, res: int) -> jnp.ndarray:
+    rows = binary.reshape(res * res, res).astype(jnp.float32)
+    if res < 128:
+        rows = jnp.pad(rows, ((0, 0), (0, 128 - res)))
+    return rows
+
+
 def init_occupancy_grid(aabb, resolution: int = 128) -> OccupancyGridState:
+    assert resolution <= 128, "row-packed probe layout assumes res <= 128 lanes"
     n = resolution**3
+    binary = jnp.ones((n,), bool)  # start fully occupied (explore)
     return OccupancyGridState(
         densities=jnp.zeros((n,), jnp.float32),
-        binary=jnp.ones((n,), bool),  # start fully occupied (explore)
+        binary=binary,
+        binary_rows=_pack_binary_rows(binary, resolution),
         aabb=jnp.asarray(aabb, jnp.float32),
         resolution=resolution,
     )
@@ -99,7 +113,27 @@ def update_occupancy_grid(
     binary = densities > thresh
     if warmup:
         binary = jnp.ones_like(binary)
-    return grid.replace(densities=densities, binary=binary)
+    return grid.replace(
+        densities=densities,
+        binary=binary,
+        binary_rows=_pack_binary_rows(binary, res),
+    )
+
+
+def probe_occupancy(grid: OccupancyGridState, positions: jnp.ndarray) -> jnp.ndarray:
+    """Occupancy at world positions via the row-packed layout.
+
+    Returns f32 1.0/0.0 of positions.shape[:-1]. One whole-row gather +
+    one-hot lane select per probe (the fast-path for the hot samplers)."""
+    from nerfstudio_tpu.ops.hash_grid import _row_gather_select
+
+    res = grid.resolution
+    unit = (positions - grid.aabb[0]) / (grid.aabb[1] - grid.aabb[0])
+    ijk = jnp.clip((unit * res).astype(jnp.int32), 0, res - 1)
+    rows = (ijk[..., 0] * res + ijk[..., 1]).reshape(-1)
+    z = ijk[..., 2].reshape(-1)
+    vals = _row_gather_select(grid.binary_rows, rows, z, 1)  # (M, 1)
+    return jax.lax.stop_gradient(vals[..., 0].reshape(positions.shape[:-1]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,12 +155,11 @@ class OccupancyGridSampler:
             k1, k2 = jax.random.split(key)
         coarse = UniformSampler(self.num_coarse_probes, train_stratified=False)(ray_bundle)
         probe_pos = coarse.frustums.get_positions()  # (R, M, 3)
-        cells = _cell_indices(probe_pos, grid.aabb, grid.resolution)
-        occ = grid.binary[cells]  # (R, M) bool gather — no field eval
+        occ = probe_occupancy(grid, probe_pos)  # (R, M) f32 row-gather probe
         inside = jnp.all(
             (probe_pos > grid.aabb[0]) & (probe_pos < grid.aabb[1]), axis=-1
         )
-        w = jnp.where(occ & inside, 1.0, self.empty_weight)[..., None]
+        w = jnp.where((occ > 0.5) & inside, 1.0, self.empty_weight)[..., None]
         pdf = PDFSampler(
             num_samples=self.num_samples, histogram_padding=0.0, single_jitter=True
         )
