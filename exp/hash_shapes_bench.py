@@ -22,7 +22,7 @@ def timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
-def bench(name, n_samples, L, log2_T, F, min_res=16, max_res=2048):
+def bench(name, n_samples, L, log2_T, F, min_res=16, max_res=2048, corner_sample=False):
     T = 1 << log2_T
     key = jax.random.PRNGKey(0)
     table = init_hash_table(key, L, T, F)
@@ -31,12 +31,14 @@ def bench(name, n_samples, L, log2_T, F, min_res=16, max_res=2048):
     @jax.jit
     def fwd(table, pos):
         return hash_encode(pos, table, num_levels=L, min_res=min_res,
-                           max_res=max_res, hash_table_size=T).sum()
+                           max_res=max_res, hash_table_size=T,
+                           bwd_corner_sample=corner_sample).sum()
 
     @jax.jit
     def fwdbwd(table, pos):
         return jax.grad(lambda t: hash_encode(pos, t, num_levels=L, min_res=min_res,
-                        max_res=max_res, hash_table_size=T).sum())(table)
+                        max_res=max_res, hash_table_size=T,
+                        bwd_corner_sample=corner_sample).sum())(table)
 
     acc = n_samples * L * 8
     tf = timeit(fwd, table, pos)
@@ -61,3 +63,5 @@ if __name__ == "__main__":
     bench_occupancy(256)
     bench("prop L5 F2 2^17 64samp", RAYS * 64, 5, 17, 2, max_res=256)
     bench("field L8 F4 2^19 32samp", RAYS * 32, 8, 19, 4)
+    bench("prop  + corner-sample bwd", RAYS * 64, 5, 17, 2, max_res=256, corner_sample=True)
+    bench("field + corner-sample bwd", RAYS * 32, 8, 19, 4, corner_sample=True)

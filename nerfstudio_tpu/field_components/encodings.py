@@ -173,6 +173,11 @@ class HashEncoding(Encoding):
     features_per_level: int = 2
     hash_init_scale: float = 0.001
     param_dtype: jnp.dtype = jnp.float32
+    # unbiased half-cost backward: scatter one parity tetrahedron per sample
+    bwd_corner_sample: bool = False
+    # one-corner unbiased trilerp fwd+bwd (1/8 accesses; for density fields
+    # whose output only guides sampling, e.g. proposal nets)
+    stochastic_corner: bool = False
 
     def get_out_dim(self) -> int:
         return self.num_levels * self.features_per_level
@@ -201,6 +206,8 @@ class HashEncoding(Encoding):
             min_res=self.min_res,
             max_res=self.max_res,
             hash_table_size=self.hash_table_size,
+            bwd_corner_sample=self.bwd_corner_sample,
+            stochastic_corner=self.stochastic_corner,
         )
 
 

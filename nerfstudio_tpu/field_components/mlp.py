@@ -95,6 +95,8 @@ class MLPWithHashEncoding(nn.Module):
     activation: str = "relu"
     out_activation: Optional[str] = None
     implementation: Literal["xla", "pallas"] = "xla"
+    bwd_corner_sample: bool = False
+    stochastic_corner: bool = False
 
     def get_out_dim(self) -> int:
         return self.out_dim if self.out_dim is not None else self.layer_width
@@ -108,6 +110,8 @@ class MLPWithHashEncoding(nn.Module):
             log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
             hash_init_scale=self.hash_init_scale,
+            bwd_corner_sample=self.bwd_corner_sample,
+            stochastic_corner=self.stochastic_corner,
             name="encoding",
         )
         mlp = MLP(

@@ -33,6 +33,8 @@ class HashMLPDensityField(Field):
     features_per_level: int = 2
     average_init_density: float = 1.0
     implementation: str = "xla"
+    bwd_corner_sample: bool = False
+    stochastic_corner: bool = False
 
     def setup(self):
         self.mlp_base = MLPWithHashEncoding(
@@ -45,6 +47,8 @@ class HashMLPDensityField(Field):
             layer_width=self.hidden_dim,
             out_dim=1,
             implementation=self.implementation,
+            bwd_corner_sample=self.bwd_corner_sample,
+            stochastic_corner=self.stochastic_corner,
         )
         self._distortion = SceneContraction(order="inf") if self.use_spatial_distortion else None
 

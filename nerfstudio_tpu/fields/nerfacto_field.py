@@ -60,6 +60,7 @@ class NerfactoField(Field):
     disable_scene_contraction: bool = False
     average_init_density: float = 1.0
     implementation: str = "xla"
+    bwd_corner_sample: bool = False
     train: bool = True
 
     def setup(self):
@@ -74,6 +75,7 @@ class NerfactoField(Field):
             layer_width=self.hidden_dim,
             out_dim=1 + self.geo_feat_dim,
             implementation=self.implementation,
+            bwd_corner_sample=self.bwd_corner_sample,
         )
         if self.use_appearance_embedding and self.appearance_embedding_dim > 0:
             self.embedding_appearance = Embedding(self.num_images, self.appearance_embedding_dim)

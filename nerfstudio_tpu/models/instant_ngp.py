@@ -54,6 +54,8 @@ class InstantNGPModelConfig(ModelConfig):
     average_init_density: float = 1.0
     occ_threshold: float = 0.01
     occ_ema_decay: float = 0.95
+    # unbiased half-cost hash-table backward (see nerfacto config note)
+    hash_grad_corner_sample: bool = True
 
     def __post_init__(self):
         if self._target is None:
@@ -76,6 +78,7 @@ class InstantNGPModel(Model):
             appearance_embedding_dim=32 if cfg.use_appearance_embedding else 0,
             disable_scene_contraction=cfg.disable_scene_contraction,
             average_init_density=cfg.average_init_density,
+            bwd_corner_sample=cfg.hash_grad_corner_sample,
             train=self.train,
         )
 

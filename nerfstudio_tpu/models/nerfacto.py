@@ -93,6 +93,10 @@ class NerfactoModelConfig(ModelConfig):
     # L3 costs 2.5 dB eval PSNR for +23% rays/s, dropping the net entirely
     # costs 3.6 dB for +90% — the L5 proposal is load-bearing; leave at 0.
     occ_proposal_levels: int = 0
+    # probe weighting: "binary" = 1.0/1e-3 indicator; "density" = real
+    # transmittance weights from the grid's EMA density (the net-free
+    # proposal histogram — pair with num_proposal_iterations=0)
+    occ_weight_mode: Literal["binary", "density"] = "binary"
     occ_grid_resolution: int = 128
     occ_num_probes: int = 128
     occ_update_every: int = 16
@@ -102,6 +106,14 @@ class NerfactoModelConfig(ModelConfig):
     occ_threshold: float = 1e-3
     use_appearance_embedding: bool = True
     appearance_embed_dim: int = 32
+    # halve hash-table backward scatter cost with an unbiased one-tetrahedron
+    # gradient estimator (ops/hash_grid._row_gather_select_cs). Measured on
+    # the synthetic gate @2k steps: eval PSNR 25.97/SSIM 0.887 vs 24.8/0.860
+    # full-gradient, at +42% train throughput — on by default.
+    hash_grad_corner_sample: bool = True
+    # proposal nets only: one-corner unbiased trilerp (1/8 the accesses).
+    # Density noise only perturbs sample PLACEMENT, never the rendered image.
+    prop_stochastic_corner: bool = False
     average_init_density: float = 0.01
     camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "SO3xR3"
     implementation: str = "xla"
@@ -137,6 +149,7 @@ class NerfactoModel(Model):
             disable_scene_contraction=cfg.disable_scene_contraction,
             average_init_density=cfg.average_init_density,
             implementation=cfg.implementation,
+            bwd_corner_sample=cfg.hash_grad_corner_sample,
             train=self.train,
         )
         n_prop = self.num_proposal_rounds()
@@ -154,6 +167,8 @@ class NerfactoModel(Model):
                 use_spatial_distortion=not cfg.disable_scene_contraction,
                 average_init_density=cfg.average_init_density,
                 implementation=cfg.implementation,
+                bwd_corner_sample=cfg.hash_grad_corner_sample,
+                stochastic_corner=cfg.prop_stochastic_corner,
                 **args_list[min(i, len(args_list) - 1)],
             )
             for i in range(n_prop)
@@ -212,14 +227,30 @@ class NerfactoModel(Model):
 
         initial_weights_fn = None
         if cfg.use_occupancy_sampler and model_aux is not None:
-            from nerfstudio_tpu.ops.occupancy import probe_occupancy
+            from nerfstudio_tpu.ops.occupancy import probe_density, probe_occupancy
 
             grid = model_aux
 
-            def initial_weights_fn(probe_samples):
-                pos01 = self._normalized_coords(probe_samples.frustums.get_positions())
-                occ = probe_occupancy(grid, pos01)
-                return jnp.where(occ > 0.5, 1.0, 1e-3)[..., None]
+            if cfg.occ_weight_mode == "density":
+
+                def initial_weights_fn(probe_samples):
+                    pos01 = self._normalized_coords(
+                        probe_samples.frustums.get_positions()
+                    )
+                    sigma = probe_density(grid, pos01)
+                    # real compositing weights over the probe bins — the
+                    # net-free proposal histogram. 1e-3 floor keeps the PDF
+                    # proper while the EMA is still cold / for exploration.
+                    w = probe_samples.get_weights(sigma[..., None])
+                    return jnp.maximum(w, 1e-3)
+            else:
+
+                def initial_weights_fn(probe_samples):
+                    pos01 = self._normalized_coords(
+                        probe_samples.frustums.get_positions()
+                    )
+                    occ = probe_occupancy(grid, pos01)
+                    return jnp.where(occ > 0.5, 1.0, 1e-3)[..., None]
         elif cfg.use_occupancy_sampler:
             # aux not yet materialized (param init / shape eval): uniform probe
             # weights make round 0 a stratified-uniform PDF pass

@@ -98,6 +98,61 @@ def _row_gather_select_bwd(f, res, g):
 _row_gather_select.defvjp(_row_gather_select_fwd, _row_gather_select_bwd)
 
 
+# corner index c = (dx<<2)|(dy<<1)|dz; the two bit-parity classes each form a
+# tetrahedron spanning the cell
+_EVEN_CORNERS = (0, 3, 5, 6)
+_ODD_CORNERS = (1, 2, 4, 7)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _row_gather_select_cs(table_l, rows, slot, coin, f):
+    """``_row_gather_select`` with a corner-subsampled backward.
+
+    rows/slot are (8n,) corner-major; coin is (n,) bool. Forward is the
+    identical row gather; backward scatters only ONE parity tetrahedron
+    (4 of 8 corners) per sample, chosen by ``coin``, with a 2x compensation —
+    an unbiased gradient estimator at half the scatter cost (scatter-add is
+    issue-bound at ~8 ns/row on v5e; see PERF.md)."""
+    return _row_gather_select(table_l, rows, slot, f)
+
+
+def _row_gather_select_cs_fwd(table_l, rows, slot, coin, f):
+    proto = jax.lax.slice_in_dim(table_l, 0, 0, axis=1)  # (S, 0)
+    return _row_gather_select(table_l, rows, slot, f), (proto, rows, slot, coin)
+
+
+def _row_gather_select_cs_bwd(f, res, g):
+    proto, rows, slot, coin = res
+    s, dtype = proto.shape[0], proto.dtype
+    n = coin.shape[0]
+    rows8 = rows.reshape(8, n)
+    slot8 = slot.reshape(8, n)
+    g8 = g.reshape(8, n, f)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    entry_of_lane = lane // f
+    feat_of_lane = lane % f
+    rows_parts, masked_parts = [], []
+    for e_c, o_c in zip(_EVEN_CORNERS, _ODD_CORNERS):
+        r_j = jnp.where(coin, rows8[o_c], rows8[e_c])
+        s_j = jnp.where(coin, slot8[o_c], slot8[e_c])
+        g_j = jnp.where(coin[:, None], g8[o_c], g8[e_c]) * 2.0
+        in_entry = entry_of_lane == s_j[:, None]
+        masked = jnp.zeros((n, 128), jnp.float32)
+        for i in range(f):
+            masked = jnp.where(in_entry & (feat_of_lane == i), g_j[:, i : i + 1], masked)
+        rows_parts.append(r_j)
+        masked_parts.append(masked)
+    dtab = (
+        jnp.zeros((s, 128), jnp.float32)
+        .at[jnp.concatenate(rows_parts)]
+        .add(jnp.concatenate(masked_parts))
+    )
+    return dtab.astype(dtype), None, None, None
+
+
+_row_gather_select_cs.defvjp(_row_gather_select_cs_fwd, _row_gather_select_cs_bwd)
+
+
 def _hash_corner(cx, cy, cz, hash_table_size):
     cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
     cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
@@ -107,7 +162,14 @@ def _hash_corner(cx, cy, cz, hash_table_size):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_levels", "min_res", "max_res", "hash_table_size"),
+    static_argnames=(
+        "num_levels",
+        "min_res",
+        "max_res",
+        "hash_table_size",
+        "bwd_corner_sample",
+        "stochastic_corner",
+    ),
 )
 def hash_encode(
     positions: jnp.ndarray,
@@ -117,6 +179,8 @@ def hash_encode(
     min_res: int,
     max_res: int,
     hash_table_size: int,
+    bwd_corner_sample: bool = False,
+    stochastic_corner: bool = False,
 ) -> jnp.ndarray:
     """Encode positions in [0,1]^3.
 
@@ -148,6 +212,38 @@ def hash_encode(
         iy0 = fy.astype(jnp.int32)
         iz0 = fz.astype(jnp.int32)
 
+        if stochastic_corner:
+            # one-corner unbiased trilerp: round each axis up with
+            # probability equal to its fractional offset (corner c is chosen
+            # with exactly its trilerp weight w_c). 1/8 the gather+scatter
+            # accesses; noisy but unbiased — for density fields whose output
+            # only GUIDES sampling (proposal nets), not the rendered image.
+            # Uniform variates from the offsets' mantissa bits, decorrelated
+            # from the table hash and from the bwd corner coin.
+            def _u01(o, p1, p2):
+                b = jax.lax.bitcast_convert_type(o, jnp.uint32)
+                h = (b * jnp.uint32(p1)) ^ ((b >> 7) * jnp.uint32(p2))
+                return (h >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+            up_x = _u01(ox, 0x9E3779B1, 0x85EBCA6B) < ox
+            up_y = _u01(oy, 0xC2B2AE35, 0x27D4EB2F) < oy
+            up_z = _u01(oz, 0x165667B1, 0xD3A2646C) < oz
+            cx = ix0 + up_x.astype(jnp.int32)
+            cy = iy0 + up_y.astype(jnp.int32)
+            cz = iz0 + up_z.astype(jnp.int32)
+            if dense:
+                cxc = jnp.clip(cx, 0, side - 1)
+                cyc = jnp.clip(cy, 0, side - 1)
+                czc = jnp.clip(cz, 0, side - 1)
+                idx = (cxc * side + cyc) * side + czc
+            else:
+                idx = _hash_corner(cx, cy, cz, hash_table_size)
+            feats = _row_gather_select(
+                table[l], idx // epr, idx % epr, features_per_level
+            )  # (n, F)
+            level_outputs.append(feats)
+            continue
+
         idx_parts, w_parts = [], []
         for corner in range(8):
             dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
@@ -167,11 +263,23 @@ def hash_encode(
             )
             w_parts.append(w)
 
-        idx8 = jnp.concatenate(idx_parts)  # (8n,)
+        idx8 = jnp.concatenate(idx_parts)  # (8n,) corner-major
         w8 = jnp.concatenate(w_parts)  # (8n,)
-        feats = _row_gather_select(
-            table[l], idx8 // epr, idx8 % epr, features_per_level
-        )  # (8n, F)
+        if bwd_corner_sample:
+            # per-sample coin from the fractional offsets' mantissa bits
+            # (different primes than the table hash — decorrelated from entry
+            # identity; varies per sample and per step via the random rays)
+            u = jax.lax.bitcast_convert_type(ox, jnp.uint32) * jnp.uint32(0x85EBCA6B)
+            v = jax.lax.bitcast_convert_type(oy, jnp.uint32) * jnp.uint32(0xC2B2AE35)
+            t = jax.lax.bitcast_convert_type(oz, jnp.uint32) * jnp.uint32(0x27D4EB2F)
+            coin = (((u ^ v ^ t) >> 13) & jnp.uint32(1)).astype(bool)
+            feats = _row_gather_select_cs(
+                table[l], idx8 // epr, idx8 % epr, coin, features_per_level
+            )  # (8n, F)
+        else:
+            feats = _row_gather_select(
+                table[l], idx8 // epr, idx8 % epr, features_per_level
+            )  # (8n, F)
         weighted = feats * w8[:, None]
         acc = weighted[:n]
         for corner in range(1, 8):

@@ -34,18 +34,21 @@ from nerfstudio_tpu.model_components.ray_samplers import PDFSampler, UniformSamp
 class OccupancyGridState:
     """Functional grid state (lives in TrainState.aux)."""
 
-    densities: jnp.ndarray  # (res^3,) EMA of density * step_size
+    densities: jnp.ndarray  # (res^3,) EMA of raw density at cell centers
     binary: jnp.ndarray  # (res^3,) bool
-    # row-packed probe view: (res^2, 128) f32 1.0/0.0; row = x*res+y, lane = z
-    # (z-column per row). Probing gathers whole rows (~2.4 ns/access on v5e)
-    # instead of single bools (~10 ns) — see PERF.md.
+    # row-packed probe views: (res^2, 128); row = x*res+y, lane = z (z-column
+    # per row). Probing gathers whole rows (~2.4 ns/access on v5e) instead of
+    # single elements (~10 ns) — see PERF.md. binary_rows is 1.0/0.0;
+    # density_rows carries the EMA density for transmittance-weighted probing
+    # (the net-free proposal path).
     binary_rows: jnp.ndarray
+    density_rows: jnp.ndarray
     aabb: jnp.ndarray  # (2, 3)
     resolution: int = flax.struct.field(pytree_node=False, default=128)
 
 
-def _pack_binary_rows(binary: jnp.ndarray, res: int) -> jnp.ndarray:
-    rows = binary.reshape(res * res, res).astype(jnp.float32)
+def _pack_rows(values: jnp.ndarray, res: int) -> jnp.ndarray:
+    rows = values.reshape(res * res, res).astype(jnp.float32)
     if res < 128:
         rows = jnp.pad(rows, ((0, 0), (0, 128 - res)))
     return rows
@@ -58,7 +61,8 @@ def init_occupancy_grid(aabb, resolution: int = 128) -> OccupancyGridState:
     return OccupancyGridState(
         densities=jnp.zeros((n,), jnp.float32),
         binary=binary,
-        binary_rows=_pack_binary_rows(binary, resolution),
+        binary_rows=_pack_rows(binary, resolution),
+        density_rows=_pack_rows(jnp.zeros((n,), jnp.float32), resolution),
         aabb=jnp.asarray(aabb, jnp.float32),
         resolution=resolution,
     )
@@ -116,15 +120,12 @@ def update_occupancy_grid(
     return grid.replace(
         densities=densities,
         binary=binary,
-        binary_rows=_pack_binary_rows(binary, res),
+        binary_rows=_pack_rows(binary, res),
+        density_rows=_pack_rows(densities, res),
     )
 
 
-def probe_occupancy(grid: OccupancyGridState, positions: jnp.ndarray) -> jnp.ndarray:
-    """Occupancy at world positions via the row-packed layout.
-
-    Returns f32 1.0/0.0 of positions.shape[:-1]. One whole-row gather +
-    one-hot lane select per probe (the fast-path for the hot samplers)."""
+def _probe_rows(table_rows: jnp.ndarray, grid, positions: jnp.ndarray) -> jnp.ndarray:
     from nerfstudio_tpu.ops.hash_grid import _row_gather_select
 
     res = grid.resolution
@@ -132,8 +133,25 @@ def probe_occupancy(grid: OccupancyGridState, positions: jnp.ndarray) -> jnp.nda
     ijk = jnp.clip((unit * res).astype(jnp.int32), 0, res - 1)
     rows = (ijk[..., 0] * res + ijk[..., 1]).reshape(-1)
     z = ijk[..., 2].reshape(-1)
-    vals = _row_gather_select(grid.binary_rows, rows, z, 1)  # (M, 1)
+    vals = _row_gather_select(table_rows, rows, z, 1)  # (M, 1)
     return jax.lax.stop_gradient(vals[..., 0].reshape(positions.shape[:-1]))
+
+
+def probe_occupancy(grid: OccupancyGridState, positions: jnp.ndarray) -> jnp.ndarray:
+    """Occupancy (1.0/0.0) at world positions via the row-packed layout.
+
+    One whole-row gather + one-hot lane select per probe (the fast-path for
+    the hot samplers)."""
+    return _probe_rows(grid.binary_rows, grid, positions)
+
+
+def probe_density(grid: OccupancyGridState, positions: jnp.ndarray) -> jnp.ndarray:
+    """EMA density at world positions (nearest cell), row-packed gather.
+
+    The net-free proposal signal: treat coarse probes as ray samples, turn
+    these densities into transmittance weights, and importance-sample — a
+    proposal histogram maintained for free by the grid updates."""
+    return _probe_rows(grid.density_rows, grid, positions)
 
 
 @dataclasses.dataclass(frozen=True)

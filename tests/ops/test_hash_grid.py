@@ -111,3 +111,53 @@ def test_hash_encode_continuity():
     base = jnp.array([[0.25 - eps, 0.5, 0.5], [0.25 + eps, 0.5, 0.5]])
     out = hash_encode(base, table, num_levels=L, min_res=4, max_res=8, hash_table_size=T)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-3)
+
+
+def test_corner_subsampled_bwd_unbiased():
+    """bwd_corner_sample: forward is identical; the one-tetrahedron gradient
+    estimator agrees with the full trilerp gradient in aggregate (unbiased,
+    ~half the scatter accesses)."""
+    L, T, F = 2, 4096, 2
+    key = jax.random.PRNGKey(0)
+    table = init_hash_table(key, L, T, F, scale=0.5)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (20000, 3))
+    kw = dict(num_levels=L, min_res=4, max_res=8, hash_table_size=T)
+
+    out_full = hash_encode(pos, table, **kw)
+    out_cs = hash_encode(pos, table, bwd_corner_sample=True, **kw)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_cs), atol=1e-5)
+
+    g_full = jax.grad(lambda t: hash_encode(pos, t, **kw).sum())(table)
+    g_cs = jax.grad(
+        lambda t: hash_encode(pos, t, bwd_corner_sample=True, **kw).sum()
+    )(table)
+    gf = np.asarray(g_full).ravel()
+    gc = np.asarray(g_cs).ravel()
+    assert np.isfinite(gc).all()
+    # aggregate agreement: same total mass and high cosine similarity (the
+    # estimator is exact in expectation; with 20k samples over a 9^3 coarse
+    # grid each entry averages many coins)
+    assert abs(gc.sum() - gf.sum()) / (abs(gf.sum()) + 1e-6) < 0.05
+    cos = float((gf * gc).sum() / (np.linalg.norm(gf) * np.linalg.norm(gc) + 1e-9))
+    assert cos > 0.95, cos
+
+
+def test_stochastic_corner_unbiased():
+    """stochastic_corner: one corner sampled with its trilerp probability —
+    unbiased estimate of the full trilerp in expectation over positions."""
+    L, T, F = 1, 4096, 2
+    table = init_hash_table(jax.random.PRNGKey(0), L, T, F, scale=0.5)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (100000, 3))
+    kw = dict(num_levels=L, min_res=4, max_res=4, hash_table_size=T)
+    full = hash_encode(pos, table, **kw)
+    stoch = hash_encode(pos, table, stochastic_corner=True, **kw)
+    mf = np.asarray(full).mean(axis=0)
+    ms = np.asarray(stoch).mean(axis=0)
+    # population means agree (CLT tolerance); per-sample values differ
+    np.testing.assert_allclose(ms, mf, atol=4e-3)
+    assert np.abs(np.asarray(full) - np.asarray(stoch)).max() > 1e-3
+    # gradients flow to the table and are finite
+    g = jax.grad(
+        lambda t: hash_encode(pos[:1000], t, stochastic_corner=True, **kw).sum()
+    )(table)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
