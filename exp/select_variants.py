@@ -45,6 +45,18 @@ def make(f, S, variant):
                 for i in range(f)
             ]
             feats = jnp.stack(outs, axis=-1)
+        elif variant == 3:
+            # slot-major layout simulation: lane = feat*epr + slot; feature
+            # extraction = contiguous 32-lane slice reductions (static slices)
+            entry_slotmajor = lane % epr
+            sel3 = jnp.where(entry_slotmajor == slot[:, None], vals, 0)
+            outs = [
+                jnp.sum(
+                    sel3[:, i * epr : (i + 1) * epr].astype(jnp.float32), axis=-1
+                )
+                for i in range(f)
+            ]
+            feats = jnp.stack(outs, axis=-1)
         return jnp.sum(feats * w[:, None])
 
     return jax.jit(fwd)
@@ -57,13 +69,13 @@ def run(name, f, S, M):
     slot = jax.random.randint(key, (M,), 0, 128 // f, jnp.int32)
     w = jax.random.uniform(key, (M,))
     ref = None
-    for v in (0, 1, 2):
+    for v in (0, 1, 2, 3):
         fn = make(f, S, v)
         try:
             out = float(fn(table, rows, slot, w))
             if ref is None:
                 ref = out
-            ok = abs(out - ref) / (abs(ref) + 1e-6) < 1e-2
+            ok = (abs(out - ref) / (abs(ref) + 1e-6) < 1e-2) if v < 3 else 'n/a(layout)'
             dt = timeit(fn, table, rows, slot, w)
             print(f"{name} v{v}: {dt*1e3:6.1f} ms ({dt/M*1e9:5.2f} ns/acc) ok={ok}")
         except Exception as e:

@@ -41,7 +41,12 @@ def _tile_keys(
     tiles_per_gauss: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Emit (N*D,) tile ids + depths + gaussian ids; invalid slots get
-    tile_id = num_tiles (sorted to the end)."""
+    tile_id = num_tiles (sorted to the end).
+
+    The d_side x d_side emission window is CENTERED on the gaussian's tile
+    (clipped to the on-screen part of its bbox) rather than anchored at the
+    bbox corner: a splat wider than the window then loses its 3-sigma tails
+    symmetrically instead of everything right/below the top-left corner."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
     d_side = max(int(np.sqrt(tiles_per_gauss)), 1)
@@ -51,18 +56,30 @@ def _tile_keys(
     x1t = jnp.floor((means2d[:, 0] + radii) / TILE).astype(jnp.int32)
     y1t = jnp.floor((means2d[:, 1] + radii) / TILE).astype(jnp.int32)
 
+    # window start: center tile minus half-window, clamped so the window
+    # stays inside the visible part of the bbox
+    cxt = jnp.floor(means2d[:, 0] / TILE).astype(jnp.int32)
+    cyt = jnp.floor(means2d[:, 1] / TILE).astype(jnp.int32)
+    half = (d_side - 1) // 2
+    lo_x = jnp.maximum(x0t, 0)
+    hi_x = jnp.minimum(x1t, tiles_x - 1)
+    lo_y = jnp.maximum(y0t, 0)
+    hi_y = jnp.minimum(y1t, tiles_y - 1)
+    sx = jnp.clip(cxt - half, lo_x, jnp.maximum(lo_x, hi_x - d_side + 1))
+    sy = jnp.clip(cyt - half, lo_y, jnp.maximum(lo_y, hi_y - d_side + 1))
+
     keys = []
     ids = []
     deps = []
     gid = jnp.arange(n, dtype=jnp.int32)
     for dy in range(d_side):
         for dx in range(d_side):
-            tx = x0t + dx
-            ty = y0t + dy
+            tx = sx + dx
+            ty = sy + dy
             ok = (
                 valid
-                & (tx >= 0) & (tx < tiles_x) & (tx <= x1t)
-                & (ty >= 0) & (ty < tiles_y) & (ty <= y1t)
+                & (tx >= 0) & (tx < tiles_x) & (tx >= x0t) & (tx <= x1t)
+                & (ty >= 0) & (ty < tiles_y) & (ty >= y0t) & (ty <= y1t)
             )
             tile_id = jnp.where(ok, ty * tiles_x + tx, num_tiles)
             keys.append(tile_id)
