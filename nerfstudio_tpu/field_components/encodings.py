@@ -178,6 +178,8 @@ class HashEncoding(Encoding):
     # one-corner unbiased trilerp fwd+bwd (1/8 accesses; for density fields
     # whose output only guides sampling, e.g. proposal nets)
     stochastic_corner: bool = False
+    # z-pair packed gathers: 4 row gathers per trilerp (ops/hash_grid.py)
+    z_pair: bool = False
 
     def get_out_dim(self) -> int:
         return self.num_levels * self.features_per_level
@@ -208,6 +210,7 @@ class HashEncoding(Encoding):
             hash_table_size=self.hash_table_size,
             bwd_corner_sample=self.bwd_corner_sample,
             stochastic_corner=self.stochastic_corner,
+            z_pair=self.z_pair,
         )
 
 

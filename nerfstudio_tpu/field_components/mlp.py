@@ -97,6 +97,7 @@ class MLPWithHashEncoding(nn.Module):
     implementation: Literal["xla", "pallas"] = "xla"
     bwd_corner_sample: bool = False
     stochastic_corner: bool = False
+    z_pair: bool = False
 
     def get_out_dim(self) -> int:
         return self.out_dim if self.out_dim is not None else self.layer_width
@@ -112,6 +113,7 @@ class MLPWithHashEncoding(nn.Module):
             hash_init_scale=self.hash_init_scale,
             bwd_corner_sample=self.bwd_corner_sample,
             stochastic_corner=self.stochastic_corner,
+            z_pair=self.z_pair,
             name="encoding",
         )
         mlp = MLP(

@@ -35,6 +35,7 @@ class HashMLPDensityField(Field):
     implementation: str = "xla"
     bwd_corner_sample: bool = False
     stochastic_corner: bool = False
+    z_pair: bool = False
 
     def setup(self):
         self.mlp_base = MLPWithHashEncoding(
@@ -49,6 +50,7 @@ class HashMLPDensityField(Field):
             implementation=self.implementation,
             bwd_corner_sample=self.bwd_corner_sample,
             stochastic_corner=self.stochastic_corner,
+            z_pair=self.z_pair,
         )
         self._distortion = SceneContraction(order="inf") if self.use_spatial_distortion else None
 

@@ -61,6 +61,7 @@ class NerfactoField(Field):
     average_init_density: float = 1.0
     implementation: str = "xla"
     bwd_corner_sample: bool = False
+    z_pair: bool = False
     train: bool = True
 
     def setup(self):
@@ -76,6 +77,7 @@ class NerfactoField(Field):
             out_dim=1 + self.geo_feat_dim,
             implementation=self.implementation,
             bwd_corner_sample=self.bwd_corner_sample,
+            z_pair=self.z_pair,
         )
         if self.use_appearance_embedding and self.appearance_embedding_dim > 0:
             self.embedding_appearance = Embedding(self.num_images, self.appearance_embedding_dim)

@@ -117,6 +117,11 @@ class NerfactoModelConfig(ModelConfig):
     # 25.97/0.887 @22k with full proposal trilerp — both above the
     # full-gradient baseline (24.8/0.860 @15.5k); default on for the speed.
     prop_stochastic_corner: bool = True
+    # z-pair packed hash gathers for the FIELD: z-adjacent cells share a
+    # 128-lane table row (z-block hash for hashed levels), so a trilerp
+    # needs 4 row gathers instead of 8; boundary samples (~12.5%) use an
+    # unbiased stochastic z-rounding (ops/hash_grid.py z_pair path).
+    field_z_pair: bool = False
     average_init_density: float = 0.01
     camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "SO3xR3"
     implementation: str = "xla"
@@ -153,6 +158,7 @@ class NerfactoModel(Model):
             average_init_density=cfg.average_init_density,
             implementation=cfg.implementation,
             bwd_corner_sample=cfg.hash_grad_corner_sample,
+            z_pair=cfg.field_z_pair,
             train=self.train,
         )
         n_prop = self.num_proposal_rounds()

@@ -153,6 +153,126 @@ def _row_gather_select_cs_bwd(f, res, g):
 _row_gather_select_cs.defvjp(_row_gather_select_cs_fwd, _row_gather_select_cs_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _row_gather_select2(table_l, rows, slot0, slot1, f):
+    """Gather TWO entries of the SAME row in one row gather.
+
+    table_l: (S, 128); rows/slot0/slot1: (M,) int32, slot0/slot1 index two
+    entries within row ``rows``. Returns (M, 2, f) float32 — the z-pair
+    trick: z-adjacent grid cells share a 128-lane row, so one 512 B gather
+    feeds both ends of the z-interpolation (half the accesses of the
+    corner-per-gather path)."""
+    vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    entry_of_lane = lane // f
+    feat_of_lane = lane % f
+    outs = []
+    for slot in (slot0, slot1):
+        sel = jnp.where(entry_of_lane == slot[:, None], vals, 0)
+        outs.append(
+            jnp.stack(
+                [
+                    jnp.sum(
+                        jnp.where(feat_of_lane == i, sel, 0).astype(jnp.float32),
+                        axis=-1,
+                    )
+                    for i in range(f)
+                ],
+                axis=-1,
+            )
+        )
+    return jnp.stack(outs, axis=1)  # (M, 2, f)
+
+
+def _row_gather_select2_fwd(table_l, rows, slot0, slot1, f):
+    proto = jax.lax.slice_in_dim(table_l, 0, 0, axis=1)  # (S, 0)
+    return _row_gather_select2(table_l, rows, slot0, slot1, f), (
+        proto,
+        rows,
+        slot0,
+        slot1,
+    )
+
+
+def _masked_rows(slot, g, f):
+    """(M, f) grads -> (M, 128) rows with the grad in slot's lanes."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    entry_of_lane = lane // f
+    feat_of_lane = lane % f
+    in_entry = entry_of_lane == slot[:, None]
+    masked = jnp.zeros((g.shape[0], 128), jnp.float32)
+    for i in range(f):
+        masked = jnp.where(in_entry & (feat_of_lane == i), g[:, i : i + 1], masked)
+    return masked
+
+
+def _row_gather_select2_bwd(f, res, g):
+    proto, rows, slot0, slot1 = res
+    s, dtype = proto.shape[0], proto.dtype
+    # both entries' grads land in ONE row scatter-add (same row)
+    masked = _masked_rows(slot0, g[:, 0], f) + _masked_rows(slot1, g[:, 1], f)
+    dtab = jnp.zeros((s, 128), jnp.float32).at[rows].add(masked)
+    return dtab.astype(dtype), None, None, None
+
+
+_row_gather_select2.defvjp(_row_gather_select2_fwd, _row_gather_select2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _row_gather_select2_cs(table_l, rows, slot0, slot1, coin, f):
+    """``_row_gather_select2`` with an xy-corner-subsampled backward.
+
+    rows/slots are (4n,) xy-combo-major (combo = dx*2+dy); coin is (n,)
+    bool. Backward scatters one xy parity pair ({(0,0),(1,1)} or
+    {(0,1),(1,0)}) per sample with 2x compensation — the bilinear analog of
+    the parity-tetrahedron estimator: unbiased, half the scatter rows."""
+    return _row_gather_select2(table_l, rows, slot0, slot1, f)
+
+
+def _row_gather_select2_cs_fwd(table_l, rows, slot0, slot1, coin, f):
+    proto = jax.lax.slice_in_dim(table_l, 0, 0, axis=1)
+    return _row_gather_select2(table_l, rows, slot0, slot1, f), (
+        proto,
+        rows,
+        slot0,
+        slot1,
+        coin,
+    )
+
+
+# xy combos (dx*2+dy): parity classes spanning the cell diagonally
+_EVEN_XY = (0, 3)  # (0,0), (1,1)
+_ODD_XY = (1, 2)  # (0,1), (1,0)
+
+
+def _row_gather_select2_cs_bwd(f, res, g):
+    proto, rows, slot0, slot1, coin = res
+    s, dtype = proto.shape[0], proto.dtype
+    n = coin.shape[0]
+    rows4 = rows.reshape(4, n)
+    s04 = slot0.reshape(4, n)
+    s14 = slot1.reshape(4, n)
+    g4 = g.reshape(4, n, 2, f)
+    rows_parts, masked_parts = [], []
+    for e_c, o_c in zip(_EVEN_XY, _ODD_XY):
+        r_j = jnp.where(coin, rows4[o_c], rows4[e_c])
+        s0_j = jnp.where(coin, s04[o_c], s04[e_c])
+        s1_j = jnp.where(coin, s14[o_c], s14[e_c])
+        g_j = jnp.where(coin[:, None, None], g4[o_c], g4[e_c]) * 2.0
+        masked = _masked_rows(s0_j, g_j[:, 0], f) + _masked_rows(s1_j, g_j[:, 1], f)
+        rows_parts.append(r_j)
+        masked_parts.append(masked)
+    dtab = (
+        jnp.zeros((s, 128), jnp.float32)
+        .at[jnp.concatenate(rows_parts)]
+        .add(jnp.concatenate(masked_parts))
+    )
+    return dtab.astype(dtype), None, None, None, None
+
+
+_row_gather_select2_cs.defvjp(_row_gather_select2_cs_fwd, _row_gather_select2_cs_bwd)
+
+
 def _hash_corner(cx, cy, cz, hash_table_size):
     cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
     cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
@@ -169,6 +289,7 @@ def _hash_corner(cx, cy, cz, hash_table_size):
         "hash_table_size",
         "bwd_corner_sample",
         "stochastic_corner",
+        "z_pair",
     ),
 )
 def hash_encode(
@@ -181,6 +302,7 @@ def hash_encode(
     hash_table_size: int,
     bwd_corner_sample: bool = False,
     stochastic_corner: bool = False,
+    z_pair: bool = False,
 ) -> jnp.ndarray:
     """Encode positions in [0,1]^3.
 
@@ -242,6 +364,77 @@ def hash_encode(
                 table[l], idx // epr, idx % epr, features_per_level
             )  # (n, F)
             level_outputs.append(feats)
+            continue
+
+        if z_pair:
+            # --- z-pair packed trilerp: 4 row gathers per sample/level ---
+            # Hashed levels hash the z-BLOCK (z>>3) and index entry
+            # block*8 + (z&7); dense levels are z-contiguous natively. The
+            # two z corners of a sample then share one 128-lane row except
+            # at block (12.5%) / row (dense, 1/epr) boundaries, where an
+            # unbiased stochastic z-rounding picks one corner (value is
+            # exact in expectation; those samples lose only the z-position
+            # gradient). Halves gather AND scatter accesses vs the
+            # corner-per-gather path.
+            assert hash_table_size % 8 == 0 and epr % 8 == 0
+            cz0, cz1 = iz0, iz0 + 1
+            # one stochastic-z coin per sample (shared across xy combos)
+            _b = jax.lax.bitcast_convert_type(oz, jnp.uint32)
+            _h = (_b * jnp.uint32(0x9E3779B1)) ^ ((_b >> 9) * jnp.uint32(0x27D4EB2F))
+            up_z = ((_h >> 8).astype(jnp.float32) * (1.0 / 16777216.0)) < oz
+            rows_parts, s0_parts, s1_parts = [], [], []
+            wz0_parts, wz1_parts, wxy_parts = [], [], []
+            for combo in range(4):
+                dx, dy = (combo >> 1) & 1, combo & 1
+                cx, cy = ix0 + dx, iy0 + dy
+                if dense:
+                    cxc = jnp.clip(cx, 0, side - 1)
+                    cyc = jnp.clip(cy, 0, side - 1)
+                    cz0c = jnp.clip(cz0, 0, side - 1)
+                    cz1c = jnp.clip(cz1, 0, side - 1)
+                    base = (cxc * side + cyc) * side
+                    idx0 = base + cz0c
+                    idx1 = base + cz1c
+                else:
+                    zb0, zo0 = cz0 >> 3, cz0 & 7
+                    blk0 = _hash_corner(cx, cy, zb0, hash_table_size // 8)
+                    blk1 = _hash_corner(cx, cy, zb0 + 1, hash_table_size // 8)
+                    idx0 = blk0 * 8 + zo0
+                    idx1 = jnp.where(zo0 != 7, idx0 + 1, blk1 * 8)
+                same_row = (idx1 // epr) == (idx0 // epr)
+                idx_sel = jnp.where(up_z, idx1, idx0)
+                rows_parts.append(jnp.where(same_row, idx0 // epr, idx_sel // epr))
+                s0_parts.append(jnp.where(same_row, idx0 % epr, idx_sel % epr))
+                s1_parts.append(jnp.where(same_row, idx1 % epr, idx_sel % epr))
+                wz0_parts.append(jnp.where(same_row, 1.0 - oz, 1.0))
+                wz1_parts.append(jnp.where(same_row, oz, 0.0))
+                wxy_parts.append(
+                    (ox if dx else 1.0 - ox) * (oy if dy else 1.0 - oy)
+                )
+            rows4 = jnp.concatenate(rows_parts)
+            s04 = jnp.concatenate(s0_parts)
+            s14 = jnp.concatenate(s1_parts)
+            if bwd_corner_sample:
+                u = jax.lax.bitcast_convert_type(ox, jnp.uint32) * jnp.uint32(0x85EBCA6B)
+                v = jax.lax.bitcast_convert_type(oy, jnp.uint32) * jnp.uint32(0xC2B2AE35)
+                t = jax.lax.bitcast_convert_type(oz, jnp.uint32) * jnp.uint32(0x27D4EB2F)
+                coin = (((u ^ v ^ t) >> 13) & jnp.uint32(1)).astype(bool)
+                feats2 = _row_gather_select2_cs(
+                    table[l], rows4, s04, s14, coin, features_per_level
+                )  # (4n, 2, F)
+            else:
+                feats2 = _row_gather_select2(
+                    table[l], rows4, s04, s14, features_per_level
+                )
+            acc = None
+            for combo in range(4):
+                f0 = feats2[combo * n : (combo + 1) * n, 0]
+                f1 = feats2[combo * n : (combo + 1) * n, 1]
+                part = wxy_parts[combo][:, None] * (
+                    f0 * wz0_parts[combo][:, None] + f1 * wz1_parts[combo][:, None]
+                )
+                acc = part if acc is None else acc + part
+            level_outputs.append(acc)  # (n, F)
             continue
 
         idx_parts, w_parts = [], []
