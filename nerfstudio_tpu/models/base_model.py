@@ -117,15 +117,21 @@ def render_camera(
         pad_rb = flat
     num_chunks = (n + n_pad) // chunk_size
 
-    chunks: Dict[str, list] = {}
-    for i in range(num_chunks):
-        piece = pad_rb[i * chunk_size : (i + 1) * chunk_size]
-        out = apply_fn(piece)
-        for k, v in out.items():
-            chunks.setdefault(k, []).append(np.asarray(v))
+    # one program for the whole image: lax.map over chunk-reshaped rays —
+    # a python chunk loop costs a full host round trip PER CHUNK through the
+    # tunneled runtime (measured eval at 13.5k rays/s vs 44k train); the
+    # scanned program renders the image in one dispatch + one readback.
+    stacked = jax.tree_util.tree_map(
+        lambda x: x.reshape((num_chunks, chunk_size) + x.shape[1:])
+        if x is not None
+        else None,
+        pad_rb,
+    )
+    out = jax.lax.map(apply_fn, stacked)
+    out = jax.device_get(out)
     images = {}
-    for k, vs in chunks.items():
-        arr = np.concatenate(vs, axis=0)[:n]
+    for k, arr in out.items():
+        arr = arr.reshape((num_chunks * chunk_size,) + arr.shape[2:])[:n]
         if arr.ndim == 2:
             images[k] = arr.reshape(h, w, arr.shape[-1])
         else:
