@@ -56,6 +56,8 @@ class InstantNGPModelConfig(ModelConfig):
     occ_ema_decay: float = 0.95
     # unbiased half-cost hash-table backward (see nerfacto config note)
     hash_grad_corner_sample: bool = True
+    # z-pair packed hash gathers (see nerfacto.field_z_pair)
+    field_z_pair: bool = False
 
     def __post_init__(self):
         if self._target is None:
@@ -79,6 +81,7 @@ class InstantNGPModel(Model):
             disable_scene_contraction=cfg.disable_scene_contraction,
             average_init_density=cfg.average_init_density,
             bwd_corner_sample=cfg.hash_grad_corner_sample,
+            z_pair=cfg.field_z_pair,
             train=self.train,
         )
 

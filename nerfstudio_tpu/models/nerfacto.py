@@ -178,6 +178,7 @@ class NerfactoModel(Model):
                 implementation=cfg.implementation,
                 bwd_corner_sample=cfg.hash_grad_corner_sample,
                 stochastic_corner=cfg.prop_stochastic_corner,
+                z_pair=cfg.field_z_pair,
                 **args_list[min(i, len(args_list) - 1)],
             )
             for i in range(n_prop)
