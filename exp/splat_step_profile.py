@@ -7,7 +7,7 @@ from nerfstudio_tpu.pipelines.splat_pipeline import build_splat_pipeline
 from nerfstudio_tpu.utils.metrics import ssim, psnr
 
 cfg = get_method("splatfacto")
-cfg.data = "/tmp/conv/synth_data"
+cfg.data = "/tmp/synth200"
 from nerfstudio_tpu.data.dataparsers.registry import get_dataparser_config
 cfg.dataparser = get_dataparser_config("blender-data")
 cfg.model.max_gaussians = 150_000

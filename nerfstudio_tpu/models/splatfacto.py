@@ -87,6 +87,11 @@ class SplatfactoModelConfig(ModelConfig):
     tiles_per_gauss: int = 16
     max_per_tile: int = 512
     tile_chunk: int = 64
+    # "saturating" blends the FULL depth-sorted per-tile lists chunk-wise
+    # until pixel transmittance saturates (exact gsplat semantics, adaptive
+    # cost); "bounded" keeps only the nearest max_per_tile per tile.
+    blend_mode: str = "saturating"
+    blend_chunk_size: int = 64
     near_plane: float = 0.01
 
     def __post_init__(self):
@@ -226,6 +231,8 @@ class SplatfactoModel:
             tiles_per_gauss=cfg.tiles_per_gauss,
             max_per_tile=cfg.max_per_tile,
             tile_chunk=cfg.tile_chunk,
+            mode=cfg.blend_mode,
+            blend_chunk_size=cfg.blend_chunk_size,
         )
         if background is None:
             if cfg.background_color == "random" and key is not None:

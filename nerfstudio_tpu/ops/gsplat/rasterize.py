@@ -30,6 +30,180 @@ import numpy as np
 
 TILE = 16
 
+# pixel transmittance below this stops a tile batch (gsplat terminates a
+# pixel at T < 1e-4; we stop a 64-tile batch when ALL its pixels are there)
+_LOG_T_EPS = -9.21  # log(1e-4)
+
+
+def _pix_local():
+    py, px = jnp.meshgrid(
+        jnp.arange(TILE, dtype=jnp.float32) + 0.5,
+        jnp.arange(TILE, dtype=jnp.float32) + 0.5,
+        indexing="ij",
+    )
+    return jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # (256, 2)
+
+
+def _chunk_alpha_ch(means2d, conics, ch, opac, gids, pix, in_seg):
+    """One K-chunk of front-to-back inputs.
+
+    gids (C, K) gaussian ids; pix (C, 256, 2); in_seg (C, K) mask.
+    -> alpha (C, 256, K), chv (C, K, 5)."""
+    g_mean = means2d[gids]
+    g_conic = conics[gids]
+    g_opac = opac[gids]
+    d = pix[:, :, None, :] - g_mean[:, None, :, :]  # (C, 256, K, 2)
+    a, b, c = g_conic[..., 0], g_conic[..., 1], g_conic[..., 2]
+    sigma = 0.5 * (
+        a[:, None, :] * d[..., 0] ** 2 + c[:, None, :] * d[..., 1] ** 2
+    ) + b[:, None, :] * d[..., 0] * d[..., 1]
+    alpha = jnp.minimum(0.999, g_opac[:, None, :] * jnp.exp(-sigma))
+    alpha = jnp.where(
+        (sigma >= 0) & in_seg[:, None, :] & (alpha > 1.0 / 255.0), alpha, 0.0
+    )
+    return alpha, ch[gids]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blend_saturating(cfg, means2d, conics, ch, opac, idxs):
+    """Exact front-to-back alpha blending over FULL per-tile lists.
+
+    Replaces the bounded top-K blend: each 64-tile batch consumes its
+    depth-sorted gaussians in K-sized chunks inside a while_loop that stops
+    when every pixel's transmittance is saturated (< 1e-4) or the lists are
+    exhausted — the TPU-shaped equivalent of gsplat's per-pixel early
+    termination, with no truncation cliff. Backward is a manual chunk-wise
+    back-to-front replay (custom VJP; while_loop is not reverse-mode
+    differentiable).
+
+    cfg = (K, C, tiles_x) static. ch is (N, 5): [r, g, b, depth, 1].
+    idxs = (id_sorted, starts (nb, C), counts (nb, C), tileidx (nb, C)).
+    -> ch_out (nb, C, 256, 5), logT (nb, C, 256)."""
+    out, _ = _blend_saturating_fwd(cfg, means2d, conics, ch, opac, idxs)
+    return out
+
+
+def _blend_sat_batch_fwd(cfg, means2d, conics, ch, opac, id_sorted, batch):
+    K, C, tiles_x = cfg
+    c_starts, c_counts, c_tileidx = batch
+    ty = (c_tileidx // tiles_x).astype(jnp.float32) * TILE
+    tx = (c_tileidx % tiles_x).astype(jnp.float32) * TILE
+    pix = _pix_local()[None] + jnp.stack([tx, ty], axis=-1)[:, None, :]
+    k_ar = jnp.arange(K, dtype=jnp.int32)
+    maxcount = jnp.max(c_counts)
+
+    def cond(carry):
+        c, ch_acc, logT = carry
+        has_entries = c * K < maxcount
+        live = (c * K < c_counts)[:, None]
+        unsat = jnp.max(jnp.where(live, logT, -jnp.inf)) > _LOG_T_EPS
+        return has_entries & unsat
+
+    def body(carry):
+        c, ch_acc, logT = carry
+        off = c * K + k_ar
+        entry = jnp.clip(c_starts[:, None] + off[None, :], 0, id_sorted.shape[0] - 1)
+        in_seg = off[None, :] < c_counts[:, None]
+        gids = id_sorted[entry]
+        alpha, chv = _chunk_alpha_ch(means2d, conics, ch, opac, gids, pix, in_seg)
+        lcum = jnp.cumsum(jnp.log1p(-alpha), axis=-1)
+        excl = lcum - jnp.log1p(-alpha)
+        w = alpha * jnp.exp(logT[..., None] + excl)
+        ch_acc = ch_acc + jnp.einsum("cpk,ckf->cpf", w, chv)
+        logT = logT + lcum[..., -1]
+        return c + 1, ch_acc, logT
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((C, TILE * TILE, 5), jnp.float32),
+        jnp.zeros((C, TILE * TILE), jnp.float32),
+    )
+    n_c, ch_acc, logT = jax.lax.while_loop(cond, body, init)
+    return ch_acc, logT, n_c
+
+
+def _blend_saturating_fwd(cfg, means2d, conics, ch, opac, idxs):
+    id_sorted, starts_b, counts_b, tileidx_b = idxs
+    ch_b, logT_b, ncs = jax.lax.map(
+        lambda b: _blend_sat_batch_fwd(cfg, means2d, conics, ch, opac, id_sorted, b),
+        (starts_b, counts_b, tileidx_b),
+    )
+    return (ch_b, logT_b), (means2d, conics, ch, opac, idxs, logT_b, ncs)
+
+
+def _blend_saturating_bwd(cfg, res, cot):
+    K, C, tiles_x = cfg
+    means2d, conics, ch, opac, idxs, logT_b, ncs = res
+    id_sorted, starts_b, counts_b, tileidx_b = idxs
+    g_ch_b, g_logT_b = cot
+    k_ar = jnp.arange(K, dtype=jnp.int32)
+
+    zeros = (
+        jnp.zeros_like(means2d),
+        jnp.zeros_like(conics),
+        jnp.zeros_like(ch),
+        jnp.zeros_like(opac),
+    )
+
+    def batch_bwd(grads, batch):
+        c_starts, c_counts, c_tileidx, logT_final, n_c, g_ch, g_logT = batch
+        ty = (c_tileidx // tiles_x).astype(jnp.float32) * TILE
+        tx = (c_tileidx % tiles_x).astype(jnp.float32) * TILE
+        pix = _pix_local()[None] + jnp.stack([tx, ty], axis=-1)[:, None, :]
+
+        def chunk_closure(m2, con, chv_all, op, gids, in_seg):
+            return _chunk_alpha_ch(m2, con, chv_all, op, gids, pix, in_seg)
+
+        def body(j, carry):
+            grads, logT_exit, GS_carry = carry
+            c = n_c - 1 - j
+            off = c * K + k_ar
+            entry = jnp.clip(
+                c_starts[:, None] + off[None, :], 0, id_sorted.shape[0] - 1
+            )
+            in_seg = off[None, :] < c_counts[:, None]
+            gids = id_sorted[entry]
+            (alpha, chv), pull = jax.vjp(
+                lambda m2, con, chl, op: chunk_closure(m2, con, chl, op, gids, in_seg),
+                means2d,
+                conics,
+                ch,
+                opac,
+            )
+            lcum = jnp.cumsum(jnp.log1p(-alpha), axis=-1)
+            excl = lcum - jnp.log1p(-alpha)
+            logT_enter = logT_exit - lcum[..., -1]
+            T_k = jnp.exp(logT_enter[..., None] + excl)  # (C, 256, K)
+            w = alpha * T_k
+            G = jnp.einsum("cpf,ckf->cpk", g_ch, chv)
+            wG = w * G
+            # suffix (exclusive) sum of wG over k, + the later-chunks carry
+            suff = jnp.sum(wG, axis=-1, keepdims=True) - jnp.cumsum(wG, axis=-1)
+            P = GS_carry[..., None] + suff
+            one_m = 1.0 - alpha
+            dalpha = G * T_k - P / one_m - g_logT[..., None] / one_m
+            dchv = jnp.einsum("cpk,cpf->ckf", w, g_ch)
+            dm2, dcon, dch, dop = pull((dalpha, dchv))
+            grads = tuple(g + d for g, d in zip(grads, (dm2, dcon, dch, dop)))
+            GS_carry = GS_carry + jnp.sum(wG, axis=-1)
+            return grads, logT_enter, GS_carry
+
+        logT0 = logT_final
+        GS0 = jnp.zeros((C, TILE * TILE), jnp.float32)
+        grads, _, _ = jax.lax.fori_loop(0, n_c, body, (grads, logT0, GS0))
+        return grads, None
+
+    grads, _ = jax.lax.scan(
+        batch_bwd,
+        zeros,
+        (starts_b, counts_b, tileidx_b, logT_b, ncs, g_ch_b, g_logT_b),
+    )
+    dm2, dcon, dch, dop = grads
+    return dm2, dcon, dch, dop, None
+
+
+_blend_saturating.defvjp(_blend_saturating_fwd, _blend_saturating_bwd)
+
 
 def _tile_keys(
     means2d: jnp.ndarray,  # (N, 2)
@@ -94,7 +268,15 @@ def _tile_keys(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tiles_per_gauss", "max_per_tile", "tile_chunk"),
+    static_argnames=(
+        "width",
+        "height",
+        "tiles_per_gauss",
+        "max_per_tile",
+        "tile_chunk",
+        "mode",
+        "blend_chunk_size",
+    ),
 )
 def rasterize(
     means2d: jnp.ndarray,  # (N, 2)
@@ -110,8 +292,15 @@ def rasterize(
     tiles_per_gauss: int = 16,
     max_per_tile: int = 256,
     tile_chunk: int = 64,
+    mode: str = "bounded",
+    blend_chunk_size: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """-> (rgb (H, W, 3), alpha (H, W, 1), depth (H, W, 1))."""
+    """-> (rgb (H, W, 3), alpha (H, W, 1), depth (H, W, 1)).
+
+    mode="bounded": blend the nearest max_per_tile gaussians per tile
+    (fixed cost, truncates deep tiles). mode="saturating": blend the FULL
+    per-tile lists chunk-wise until pixel transmittance saturates — exact
+    gsplat front-to-back semantics with adaptive cost."""
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     num_tiles = tiles_x * tiles_y
@@ -147,6 +336,46 @@ def rasterize(
     starts_p = jnp.pad(starts, (0, pad_tiles))
     counts_p = jnp.pad(counts, (0, pad_tiles))
     tile_idx_p = jnp.pad(jnp.arange(num_tiles, dtype=jnp.int32), (0, pad_tiles))
+
+    if mode == "saturating":
+        ch5 = jnp.concatenate(
+            [
+                colors,
+                depths[:, None],
+                jnp.ones((colors.shape[0], 1), colors.dtype),
+            ],
+            axis=-1,
+        ).astype(jnp.float32)
+        cfg = (blend_chunk_size, tile_chunk, tiles_x)
+        ch_b, logT_b = _blend_saturating(
+            cfg,
+            means2d,
+            conics,
+            ch5,
+            opacities.astype(jnp.float32),
+            (
+                id_sorted,
+                starts_p.reshape(n_chunks, tile_chunk),
+                counts_p.reshape(n_chunks, tile_chunk),
+                tile_idx_p.reshape(n_chunks, tile_chunk),
+            ),
+        )
+        ch_t = ch_b.reshape(n_chunks * tile_chunk, TILE, TILE, 5)[:num_tiles]
+        acc_t = ch_t[..., 4]
+        rgb_t = ch_t[..., :3]
+        dep_t = ch_t[..., 3] / jnp.maximum(acc_t, 1e-10)
+
+        def tiles_to_image_sat(t):
+            extra = t.shape[3:]
+            img = t.reshape((tiles_y, tiles_x, TILE, TILE) + extra)
+            img = jnp.moveaxis(img, 2, 1)
+            return img.reshape((tiles_y * TILE, tiles_x * TILE) + extra)[:height, :width]
+
+        return (
+            tiles_to_image_sat(rgb_t),
+            tiles_to_image_sat(acc_t)[..., None],
+            tiles_to_image_sat(dep_t)[..., None],
+        )
 
     k_arange = jnp.arange(max_per_tile, dtype=jnp.int32)
 
