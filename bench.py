@@ -33,6 +33,16 @@ def main() -> None:
     cfg, dm, model_train, model_eval = _synthetic_setup(
         hw=128, n_images=16, rays=rays_per_batch, tiny=False
     )
+    if os.environ.get("NST_BENCH_Z_PAIR") or os.environ.get("NST_BENCH_BLOCK"):
+        cfg.model.field_z_pair = os.environ.get("NST_BENCH_Z_PAIR") == "1"
+        if os.environ.get("NST_BENCH_BLOCK") == "1":
+            cfg.model.field_block = True
+            cfg.model.prop_block = True
+        from nerfstudio_tpu.models.nerfacto import NerfactoModel as _NM
+
+        aabb = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+        model_train = _NM(config=cfg.model, scene_aabb=aabb, num_train_data=16, train=True)
+        model_eval = _NM(config=cfg.model, scene_aabb=aabb, num_train_data=16, train=False)
 
     pipeline = VanillaPipeline(dm, model_train, model_eval, tx=None, mesh=None)
     key = jax.random.PRNGKey(0)

@@ -180,6 +180,11 @@ class HashEncoding(Encoding):
     stochastic_corner: bool = False
     # z-pair packed gathers: 4 row gathers per trilerp (ops/hash_grid.py)
     z_pair: bool = False
+    # block-packed layout: 2x2x2 vertex blocks per row unit -> ONE row
+    # gather per trilerp (stochastic rounding on odd axes, train only)
+    block: bool = False
+    # exact 8-corner trilerp over the block layout (eval/render path)
+    block_exact: bool = False
 
     def get_out_dim(self) -> int:
         return self.num_levels * self.features_per_level
@@ -211,6 +216,8 @@ class HashEncoding(Encoding):
             bwd_corner_sample=self.bwd_corner_sample,
             stochastic_corner=self.stochastic_corner,
             z_pair=self.z_pair,
+            block=self.block,
+            block_exact=self.block_exact,
         )
 
 

@@ -98,6 +98,8 @@ class MLPWithHashEncoding(nn.Module):
     bwd_corner_sample: bool = False
     stochastic_corner: bool = False
     z_pair: bool = False
+    block: bool = False
+    block_exact: bool = False
 
     def get_out_dim(self) -> int:
         return self.out_dim if self.out_dim is not None else self.layer_width
@@ -114,6 +116,8 @@ class MLPWithHashEncoding(nn.Module):
             bwd_corner_sample=self.bwd_corner_sample,
             stochastic_corner=self.stochastic_corner,
             z_pair=self.z_pair,
+            block=self.block,
+            block_exact=self.block_exact,
             name="encoding",
         )
         mlp = MLP(

@@ -36,6 +36,10 @@ class HashMLPDensityField(Field):
     bwd_corner_sample: bool = False
     stochastic_corner: bool = False
     z_pair: bool = False
+    # block-packed tables: one row gather serves the FULL trilerp stencil
+    # (density noise only perturbs sample placement, so proposal nets keep
+    # the stochastic path in eval too)
+    block: bool = False
 
     def setup(self):
         self.mlp_base = MLPWithHashEncoding(
@@ -49,8 +53,9 @@ class HashMLPDensityField(Field):
             out_dim=1,
             implementation=self.implementation,
             bwd_corner_sample=self.bwd_corner_sample,
-            stochastic_corner=self.stochastic_corner,
+            stochastic_corner=self.stochastic_corner and not self.block,
             z_pair=self.z_pair,
+            block=self.block,
         )
         self._distortion = SceneContraction(order="inf") if self.use_spatial_distortion else None
 

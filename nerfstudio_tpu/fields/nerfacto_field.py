@@ -62,6 +62,10 @@ class NerfactoField(Field):
     implementation: str = "xla"
     bwd_corner_sample: bool = False
     z_pair: bool = False
+    # block-packed hash tables: ONE row gather per trilerp while training
+    # (stochastic odd-axis rounding); eval renders through the exact
+    # 8-corner path over the same layout (ops/hash_grid.py block mode)
+    hash_block: bool = False
     train: bool = True
 
     def setup(self):
@@ -78,6 +82,8 @@ class NerfactoField(Field):
             implementation=self.implementation,
             bwd_corner_sample=self.bwd_corner_sample,
             z_pair=self.z_pair,
+            block=self.hash_block and self.train,
+            block_exact=self.hash_block and not self.train,
         )
         if self.use_appearance_embedding and self.appearance_embedding_dim > 0:
             self.embedding_appearance = Embedding(self.num_images, self.appearance_embedding_dim)

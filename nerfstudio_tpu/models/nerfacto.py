@@ -122,6 +122,14 @@ class NerfactoModelConfig(ModelConfig):
     # needs 4 row gathers instead of 8; boundary samples (~12.5%) use an
     # unbiased stochastic z-rounding (ops/hash_grid.py z_pair path).
     field_z_pair: bool = False
+    # block-packed hash tables (2x2x2 vertex blocks per row unit,
+    # ops/hash_grid.py block mode): training trilerps cost ONE row gather
+    # (stochastic odd-axis rounding, unbiased); eval renders exactly. The
+    # gradient covers all 8 stencil corners in ONE row scatter.
+    field_block: bool = False
+    # proposal nets through the block path: same access count as
+    # prop_stochastic_corner but a full (smoothed) trilerp per access.
+    prop_block: bool = False
     average_init_density: float = 0.01
     camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "SO3xR3"
     implementation: str = "xla"
@@ -159,6 +167,7 @@ class NerfactoModel(Model):
             implementation=cfg.implementation,
             bwd_corner_sample=cfg.hash_grad_corner_sample,
             z_pair=cfg.field_z_pair,
+            hash_block=cfg.field_block,
             train=self.train,
         )
         n_prop = self.num_proposal_rounds()
@@ -179,6 +188,7 @@ class NerfactoModel(Model):
                 bwd_corner_sample=cfg.hash_grad_corner_sample,
                 stochastic_corner=cfg.prop_stochastic_corner,
                 z_pair=cfg.field_z_pair,
+                block=cfg.prop_block,
                 **args_list[min(i, len(args_list) - 1)],
             )
             for i in range(n_prop)

@@ -41,6 +41,14 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861)
 
 
+def _u01_hash(o, p1, p2):
+    """Deterministic uniform variate from a float's mantissa bits (decorrelated
+    from the table hash by distinct multipliers)."""
+    b = jax.lax.bitcast_convert_type(o, jnp.uint32)
+    h = (b * jnp.uint32(p1)) ^ ((b >> 7) * jnp.uint32(p2))
+    return (h >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
 def compute_level_resolutions(num_levels: int, min_res: int, max_res: int) -> np.ndarray:
     """Geometric growth factor exp((ln max - ln min)/(L-1)) (reference :341)."""
     if num_levels > 1:
@@ -273,6 +281,72 @@ def _row_gather_select2_cs_bwd(f, res, g):
 _row_gather_select2_cs.defvjp(_row_gather_select2_cs_fwd, _row_gather_select2_cs_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _row_gather_block(table_l, rows, slot, f):
+    """Gather a full 2x2x2 vertex BLOCK (8 corners x f features = 8f lanes)
+    in ONE row gather.
+
+    Block layout: entry unit = one vertex block of 8f lanes, ``blocks_per_row
+    = 128 // (8 f)``; lane = block_offset*8f + corner*f + feat with corner =
+    (px<<2)|(py<<1)|pz over local vertex parities. table_l: (S, 128);
+    rows/slot: (M,) int32 (slot = block offset within the row). Returns
+    (M, 8, f) float32 — a trilerp's WHOLE stencil from a single 512 B
+    contiguous access (vs 8 row gathers corner-per-gather), with the full
+    8-corner gradient landing in ONE row scatter-add on the backward."""
+    vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    blk_of_lane = lane // (8 * f)
+    corner_of_lane = (lane % (8 * f)) // f
+    feat_of_lane = lane % f
+    sel = jnp.where(blk_of_lane == slot[:, None], vals, 0)  # (M, 128) bf16
+    outs = []
+    for c in range(8):
+        outs.append(
+            jnp.stack(
+                [
+                    jnp.sum(
+                        jnp.where(
+                            (corner_of_lane == c) & (feat_of_lane == i), sel, 0
+                        ).astype(jnp.float32),
+                        axis=-1,
+                    )
+                    for i in range(f)
+                ],
+                axis=-1,
+            )
+        )
+    return jnp.stack(outs, axis=1)  # (M, 8, f)
+
+
+def _row_gather_block_fwd(table_l, rows, slot, f):
+    proto = jax.lax.slice_in_dim(table_l, 0, 0, axis=1)  # (S, 0)
+    return _row_gather_block(table_l, rows, slot, f), (proto, rows, slot)
+
+
+def _row_gather_block_bwd(f, res, g):
+    proto, rows, slot = res
+    s, dtype = proto.shape[0], proto.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    blk_of_lane = lane // (8 * f)
+    corner_of_lane = (lane % (8 * f)) // f
+    feat_of_lane = lane % f
+    in_blk = blk_of_lane == slot[:, None]
+    # g: (M, 8, f) -> one (M, 128) masked row carrying ALL 8 corner grads
+    masked = jnp.zeros((g.shape[0], 128), jnp.float32)
+    for c in range(8):
+        for i in range(f):
+            masked = jnp.where(
+                in_blk & (corner_of_lane == c) & (feat_of_lane == i),
+                g[:, c, i : i + 1],
+                masked,
+            )
+    dtab = jnp.zeros((s, 128), jnp.float32).at[rows].add(masked)
+    return dtab.astype(dtype), None, None
+
+
+_row_gather_block.defvjp(_row_gather_block_fwd, _row_gather_block_bwd)
+
+
 def _hash_corner(cx, cy, cz, hash_table_size):
     cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
     cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
@@ -290,6 +364,8 @@ def _hash_corner(cx, cy, cz, hash_table_size):
         "bwd_corner_sample",
         "stochastic_corner",
         "z_pair",
+        "block",
+        "block_exact",
     ),
 )
 def hash_encode(
@@ -303,6 +379,8 @@ def hash_encode(
     bwd_corner_sample: bool = False,
     stochastic_corner: bool = False,
     z_pair: bool = False,
+    block: bool = False,
+    block_exact: bool = False,
 ) -> jnp.ndarray:
     """Encode positions in [0,1]^3.
 
@@ -333,6 +411,97 @@ def hash_encode(
         ix0 = fx.astype(jnp.int32)
         iy0 = fy.astype(jnp.int32)
         iz0 = fz.astype(jnp.int32)
+
+        if block or block_exact:
+            # --- block-packed layout: vertex v lives in 2x2x2 block v>>1,
+            # entry = blk*8 + ((vx&1)<<2 | (vy&1)<<1 | (vz&1)). One trilerp
+            # stencil fits a single block whenever the base cell is even on
+            # every axis; odd axes are handled by unbiased stochastic
+            # rounding (prob = fractional offset), reducing the whole
+            # trilerp to ONE row gather per sample/level. ``block_exact``
+            # (eval/render) instead gathers all 8 corners exactly through
+            # the same layout (no stochastic noise in rendered images).
+            assert hash_table_size % 8 == 0 and epr % 8 == 0
+            bpr = epr // 8  # blocks per row
+            nblocks = hash_table_size // 8
+            bs = (side + 1) // 2  # dense blocks per axis
+            dense_b = bs**3 * 8 <= hash_table_size
+            # clip the BASE CELL so every stencil vertex is in [0, side-1]
+            ix0b = jnp.clip(ix0, 0, res - 1)
+            iy0b = jnp.clip(iy0, 0, res - 1)
+            iz0b = jnp.clip(iz0, 0, res - 1)
+            oxb = jnp.clip(sx - ix0b, 0.0, 1.0)
+            oyb = jnp.clip(sy - iy0b, 0.0, 1.0)
+            ozb = jnp.clip(sz - iz0b, 0.0, 1.0)
+
+            if block_exact:
+                idx_parts, w_parts = [], []
+                for corner in range(8):
+                    dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+                    vx, vy, vz = ix0b + dx, iy0b + dy, iz0b + dz
+                    if dense_b:
+                        blk = ((vx >> 1) * bs + (vy >> 1)) * bs + (vz >> 1)
+                    else:
+                        blk = _hash_corner(vx >> 1, vy >> 1, vz >> 1, nblocks)
+                    idx_parts.append(
+                        blk * 8 + ((vx & 1) << 2 | (vy & 1) << 1 | (vz & 1))
+                    )
+                    w_parts.append(
+                        (oxb if dx else 1.0 - oxb)
+                        * (oyb if dy else 1.0 - oyb)
+                        * (ozb if dz else 1.0 - ozb)
+                    )
+                idx8 = jnp.concatenate(idx_parts)
+                w8 = jnp.concatenate(w_parts)
+                feats = _row_gather_select(
+                    table[l], idx8 // epr, idx8 % epr, features_per_level
+                )  # (8n, F)
+                weighted = feats * w8[:, None]
+                acc = weighted[:n]
+                for corner in range(1, 8):
+                    acc = acc + weighted[corner * n : (corner + 1) * n]
+                level_outputs.append(acc)
+                continue
+
+            prime_pairs = ((0x85EBCA6B, 0x9E3779B1), (0xC2B2AE35, 0x27D4EB2F), (0x165667B1, 0xD3A2646C))
+            bcoords, pweights = [], []
+            for i0, o, (p1, p2) in zip(
+                (ix0b, iy0b, iz0b), (oxb, oyb, ozb), prime_pairs
+            ):
+                odd = (i0 & 1) == 1
+                up = _u01_hash(o, p1, p2) < o
+                # representative vertex: stochastic choice on odd axes (its
+                # block holds the chosen vertex); base vertex on even axes
+                rep = i0 + jnp.where(odd & up, 1, 0)
+                bcoords.append(rep >> 1)
+                upf = up.astype(jnp.float32)
+                # weight on corner parity 0 / parity 1 within the block:
+                # even axis -> exact lerp (i0 has parity 0); odd axis ->
+                # all weight on the chosen vertex's parity (up -> even=p0)
+                w_p0 = jnp.where(odd, upf, 1.0 - o)
+                w_p1 = jnp.where(odd, 1.0 - upf, o)
+                pweights.append((w_p0, w_p1))
+            bx, by, bz = bcoords
+            if dense_b:
+                blk = (bx * bs + by) * bs + bz
+            else:
+                blk = _hash_corner(bx, by, bz, nblocks)
+            feats8 = _row_gather_block(
+                table[l], blk // bpr, blk % bpr, features_per_level
+            )  # (n, 8, F)
+            (wx0, wx1), (wy0, wy1), (wz0, wz1) = pweights
+            acc = None
+            for c in range(8):
+                px, py, pz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+                w = (
+                    (wx1 if px else wx0)
+                    * (wy1 if py else wy0)
+                    * (wz1 if pz else wz0)
+                )
+                part = w[:, None] * feats8[:, c]
+                acc = part if acc is None else acc + part
+            level_outputs.append(acc)  # (n, F)
+            continue
 
         if stochastic_corner:
             # one-corner unbiased trilerp: round each axis up with

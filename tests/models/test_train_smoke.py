@@ -169,3 +169,30 @@ def test_tensorf_progressive_upsampling(blender_dir):
         state, metrics = pipeline.train_step(state, pipeline.datamanager.train_images, k)
     assert plane_shape(state.params)[-1] == 16
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_nerfacto_block_mode_smoke(blender_dir, tmp_path):
+    """Block-packed hash tables (field_block + prop_block): two train steps
+    plus an eval-image render through the EXACT block path."""
+    config = get_method("nerfacto")
+    from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+
+    config.dataparser = BlenderDataParserConfig(data=blender_dir)
+    config.data = blender_dir
+    config.trainer.output_dir = tmp_path / "outputs"
+    config = _shrink(config)
+    config.model.field_block = True
+    config.model.prop_block = True
+
+    pipeline, state, config = build_pipeline(config, use_mesh=False)
+    ModelCls = config.model._target
+    key = jax.random.PRNGKey(0)
+    for step in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = pipeline.train_step(
+            state, pipeline.datamanager.train_images, k,
+            **ModelCls.step_kwargs(step, config.model),
+        )
+    assert np.isfinite(float(metrics["loss"]))
+    metrics, images = pipeline.get_eval_image_metrics_and_images(state, 0, chunk_size=64)
+    assert np.isfinite(metrics["psnr"])
