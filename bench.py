@@ -33,11 +33,19 @@ def main() -> None:
     cfg, dm, model_train, model_eval = _synthetic_setup(
         hw=128, n_images=16, rays=rays_per_batch, tiny=False
     )
-    if os.environ.get("NST_BENCH_Z_PAIR") or os.environ.get("NST_BENCH_BLOCK"):
+    if (
+        os.environ.get("NST_BENCH_Z_PAIR")
+        or os.environ.get("NST_BENCH_BLOCK")
+        or os.environ.get("NST_BENCH_HYBRID")
+    ):
         cfg.model.field_z_pair = os.environ.get("NST_BENCH_Z_PAIR") == "1"
         if os.environ.get("NST_BENCH_BLOCK") == "1":
             cfg.model.field_block = True
             cfg.model.prop_block = True
+        if os.environ.get("NST_BENCH_HYBRID") == "1":
+            # block-packed proposals (stochastic rounding) + exact z-pair field
+            cfg.model.prop_block = True
+            cfg.model.field_z_pair = True
         from nerfstudio_tpu.models.nerfacto import NerfactoModel as _NM
 
         aabb = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))

@@ -17,9 +17,24 @@ from pathlib import Path
 
 
 def process_images(data: Path, output_dir: Path, num_downscales: int, camera_model: str,
-                   matching_method: str) -> None:
+                   matching_method: str, camera_type: str = "perspective",
+                   images_per_equirect: int = 8) -> None:
     from nerfstudio_tpu.process_data.colmap_utils import colmap_to_json, run_colmap
     from nerfstudio_tpu.process_data.process_data_utils import copy_images
+
+    if camera_type == "fisheye":
+        camera_model = "OPENCV_FISHEYE"
+    if camera_type == "equirectangular":
+        # 360 panoramas: crop pinhole views first, then SfM the crops
+        # (reference process_data/images_to_nerfstudio_dataset.py equirect path).
+        from nerfstudio_tpu.process_data.equirect_utils import (
+            compute_resolution_from_equirect,
+            generate_planar_projections_from_equirectangular,
+        )
+
+        size = compute_resolution_from_equirect(data, images_per_equirect)
+        data = generate_planar_projections_from_equirectangular(data, size, images_per_equirect)
+        print(f"equirect -> {images_per_equirect} pinhole views/pano at {size} in {data}")
 
     output_dir.mkdir(parents=True, exist_ok=True)
     copied = copy_images(data, output_dir, num_downscales=num_downscales)
@@ -55,6 +70,9 @@ def entrypoint(argv=None) -> None:
     p.add_argument("--num-downscales", type=int, default=3)
     p.add_argument("--camera-model", default="OPENCV")
     p.add_argument("--matching-method", default="exhaustive")
+    p.add_argument("--camera-type", default="perspective",
+                   choices=("perspective", "fisheye", "equirectangular"))
+    p.add_argument("--images-per-equirect", type=int, default=8)
 
     p = sub.add_parser("video")
     common(p)
@@ -77,7 +95,8 @@ def entrypoint(argv=None) -> None:
 
     if args.cmd == "images":
         process_images(args.data, out, args.num_downscales, args.camera_model,
-                       args.matching_method)
+                       args.matching_method, camera_type=args.camera_type,
+                       images_per_equirect=args.images_per_equirect)
     elif args.cmd == "video":
         process_video(args.data, out, args.num_frames_target, args.num_downscales,
                       args.camera_model, args.matching_method)

@@ -211,3 +211,46 @@ def test_copy_images_with_pyramids(tmp_path):
     assert (tmp_path / "proc" / "images_4" / "frame_00001.jpg").exists()
     im = Image.open(tmp_path / "proc" / "images_4" / "frame_00001.jpg")
     assert im.size == (4, 4)
+
+
+def test_equirect_to_perspective_geometry():
+    """A panorama whose color encodes longitude: the forward view (yaw=0) must
+    sample the panorama's center column band, and yaw=90 the +x band."""
+    import numpy as np
+
+    from nerfstudio_tpu.process_data.equirect_utils import equirect_to_perspective
+
+    h, w = 64, 128
+    pano = np.zeros((h, w, 3), np.float32)
+    pano[..., 0] = np.linspace(0, 1, w)[None, :]  # red ramps with longitude
+    persp = equirect_to_perspective(pano, fov_deg=60.0, yaw_deg=0.0, pitch_deg=0.0, out_h=32, out_w=32)
+    center_red = float(persp[16, 16, 0])
+    # lon=0 maps to u=0.5*w -> red ~0.5
+    assert abs(center_red - 0.5) < 0.02
+    persp90 = equirect_to_perspective(pano, fov_deg=60.0, yaw_deg=90.0, pitch_deg=0.0, out_h=32, out_w=32)
+    assert abs(float(persp90[16, 16, 0]) - 0.75) < 0.02
+    # pitch looks toward a pole: same longitude, so red stays ~0.5 at center
+    persp_up = equirect_to_perspective(pano, fov_deg=60.0, yaw_deg=0.0, pitch_deg=-45.0, out_h=32, out_w=32)
+    assert abs(float(persp_up[16, 16, 0]) - 0.5) < 0.05
+
+
+def test_generate_planar_projections(tmp_path):
+    import numpy as np
+
+    from nerfstudio_tpu.process_data.equirect_utils import (
+        compute_resolution_from_equirect,
+        generate_planar_projections_from_equirectangular,
+        sample_view_directions,
+    )
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        arr = (rng.uniform(0, 255, (32, 64, 3))).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"pano{i}.png")
+    size = compute_resolution_from_equirect(tmp_path, 6)
+    assert size[0] >= 64 and size[0] == size[1]
+    out = generate_planar_projections_from_equirectangular(tmp_path, (24, 24), 6)
+    files = sorted(out.glob("*.png"))
+    assert len(files) == 2 * len(sample_view_directions(6))
+    im = Image.open(files[0])
+    assert im.size == (24, 24)
