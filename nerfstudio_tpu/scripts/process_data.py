@@ -18,7 +18,7 @@ from pathlib import Path
 
 def process_images(data: Path, output_dir: Path, num_downscales: int, camera_model: str,
                    matching_method: str, camera_type: str = "perspective",
-                   images_per_equirect: int = 8) -> None:
+                   images_per_equirect: int = 8, sfm_tool: str = "colmap") -> None:
     from nerfstudio_tpu.process_data.colmap_utils import colmap_to_json, run_colmap
     from nerfstudio_tpu.process_data.process_data_utils import copy_images
 
@@ -40,7 +40,12 @@ def process_images(data: Path, output_dir: Path, num_downscales: int, camera_mod
     copied = copy_images(data, output_dir, num_downscales=num_downscales)
     print(f"copied {len(copied)} images")
     colmap_dir = output_dir / "colmap"
-    run_colmap(output_dir / "images", colmap_dir, camera_model, matching_method)
+    if sfm_tool == "hloc":
+        from nerfstudio_tpu.process_data.hloc_utils import run_hloc
+
+        run_hloc(output_dir / "images", colmap_dir, camera_model, matching_method)
+    else:
+        run_colmap(output_dir / "images", colmap_dir, camera_model, matching_method)
     n = colmap_to_json(colmap_dir / "sparse" / "0", output_dir)
     print(f"registered {n}/{len(copied)} frames -> {output_dir/'transforms.json'}")
 
@@ -73,6 +78,7 @@ def entrypoint(argv=None) -> None:
     p.add_argument("--camera-type", default="perspective",
                    choices=("perspective", "fisheye", "equirectangular"))
     p.add_argument("--images-per-equirect", type=int, default=8)
+    p.add_argument("--sfm-tool", default="colmap", choices=("colmap", "hloc"))
 
     p = sub.add_parser("video")
     common(p)
@@ -96,7 +102,8 @@ def entrypoint(argv=None) -> None:
     if args.cmd == "images":
         process_images(args.data, out, args.num_downscales, args.camera_model,
                        args.matching_method, camera_type=args.camera_type,
-                       images_per_equirect=args.images_per_equirect)
+                       images_per_equirect=args.images_per_equirect,
+                       sfm_tool=args.sfm_tool)
     elif args.cmd == "video":
         process_video(args.data, out, args.num_frames_target, args.num_downscales,
                       args.camera_model, args.matching_method)

@@ -254,3 +254,14 @@ def test_generate_planar_projections(tmp_path):
     assert len(files) == 2 * len(sample_view_directions(6))
     im = Image.open(files[0])
     assert im.size == (24, 24)
+
+
+def test_hloc_unavailable_raises(tmp_path):
+    import pytest as _pytest
+
+    from nerfstudio_tpu.process_data.hloc_utils import hloc_available, run_hloc
+
+    if hloc_available():
+        _pytest.skip("hloc installed; error path not reachable")
+    with _pytest.raises(RuntimeError, match="hloc"):
+        run_hloc(tmp_path, tmp_path / "colmap")
