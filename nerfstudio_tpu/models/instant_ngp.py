@@ -58,6 +58,9 @@ class InstantNGPModelConfig(ModelConfig):
     hash_grad_corner_sample: bool = True
     # z-pair packed hash gathers (see nerfacto.field_z_pair)
     field_z_pair: bool = False
+    # block-packed hash tables (see nerfacto.field_block: quality parity at
+    # 2x throughput on the synthetic gate; exact render path at eval)
+    field_block: bool = True
 
     def __post_init__(self):
         if self._target is None:
@@ -82,6 +85,7 @@ class InstantNGPModel(Model):
             average_init_density=cfg.average_init_density,
             bwd_corner_sample=cfg.hash_grad_corner_sample,
             z_pair=cfg.field_z_pair,
+            hash_block=cfg.field_block,
             train=self.train,
         )
 
