@@ -121,9 +121,15 @@ class InstantNGPModel(Model):
         field_outputs = self.field(ray_samples)
         weights = ray_samples.get_weights(field_outputs[FieldHeadNames.DENSITY])
 
+        # eval keeps the CONFIGURED background (a white-bg protocol must
+        # render white held-out views); only "random" degrades to black so
+        # eval renders stay deterministic (reference renderers.py:85-96).
+        bg_color = cfg.background_color
+        if not self.train and bg_color == "random":
+            bg_color = "black"
         rgb, background = renderers.render_rgb(
             field_outputs[FieldHeadNames.RGB], weights,
-            background_color=cfg.background_color if self.train else "black",
+            background_color=bg_color,
             key=k_bg, return_background=True,
         )
         depth = renderers.render_depth(weights, ray_samples, method="expected")

@@ -101,3 +101,29 @@ def test_instant_ngp_trains(tmp_path):
     assert np.isfinite(float(metrics["loss"]))
     assert state.aux is not None
     assert state.aux.binary.shape == (16**3,)
+
+
+def test_eval_respects_configured_background():
+    """A white-background protocol must render WHITE held-out backgrounds:
+    with an untrained (near-zero-density) field, every pixel is ~background.
+    Regression: eval used to hardcode black, scoring PSNR ~4 on white-bg
+    datasets whose training PSNR was 27+."""
+    from nerfstudio_tpu.models.instant_ngp import InstantNGPModel, InstantNGPModelConfig
+
+    cfg = InstantNGPModelConfig(
+        background_color="white", log2_hashmap_size=9, max_res=64,
+        grid_resolution=16, num_samples_per_ray=8, num_coarse_probes=8,
+        average_init_density=1e-8,  # empty field -> pure background render
+    )
+    aabb = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+    model = InstantNGPModel(config=cfg, scene_aabb=aabb, num_train_data=2, train=False)
+    key = jax.random.PRNGKey(0)
+    n = 16
+    origins = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (n, 1))
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    rb = RayBundle(origins=origins, directions=dirs, pixel_area=jnp.full((n, 1), 1e-6))
+    params = model.init(key, rb, key=key)
+    out = model.apply(params, rb, key=key)
+    # untrained density ~0 -> accumulation ~0 -> rgb ~ white background
+    assert float(out["accumulation"].max()) < 0.2
+    assert float(out["rgb"].min()) > 0.8
