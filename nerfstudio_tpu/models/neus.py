@@ -122,7 +122,8 @@ class NeuSModel(Model):
     @staticmethod
     def get_loss_dict(outputs, batch, metrics_dict=None, params=None, config=None, **kw):
         pred, gt = renderers.blend_background_for_loss_computation(
-            outputs["rgb"], outputs["accumulation"], batch["image"], background_color="black"
+            outputs["rgb"], outputs["accumulation"], batch["image"],
+            background_color=config.background_color if config else "black",
         )
         loss_dict = {"rgb_loss": mse_loss(pred, gt)}
         if "eikonal_gradients" in outputs:
