@@ -62,9 +62,10 @@ class NeuSModel(Model):
         field_outputs = self.field(ray_samples, cos_anneal_ratio=cos_anneal)
         alphas = field_outputs[FieldHeadNames.ALPHA]
         weights, transmittance = RaySamples.get_weights_and_transmittance_from_alphas(alphas)
-        rgb = renderers.render_rgb(
+        rgb, background = renderers.render_rgb(
             field_outputs[FieldHeadNames.RGB], weights,
             background_color=self.config.background_color, key=k_bg,
+            return_background=True,
         )
         depth = renderers.render_depth(weights, ray_samples, method="expected")
         accumulation = renderers.render_accumulation(weights)
@@ -78,6 +79,7 @@ class NeuSModel(Model):
         if self.train:
             outputs["eikonal_gradients"] = field_outputs[FieldHeadNames.GRADIENT]
             outputs["weights"] = weights
+            outputs["background"] = background
         return outputs
 
     def get_outputs(
@@ -114,8 +116,12 @@ class NeuSModel(Model):
 
     @staticmethod
     def get_metrics_dict(outputs, batch, params=None):
+        # blend RGBA GT over the background the renderer ACTUALLY used, so the
+        # logged train psnr is comparable to the rgb loss (a black-blend here
+        # once reported psnr 3 while the white-bg rgb_loss implied psnr 16)
         pred, gt = renderers.blend_background_for_loss_computation(
-            outputs["rgb"], outputs["accumulation"], batch["image"], background_color="black"
+            outputs["rgb"], outputs["accumulation"], batch["image"],
+            background=outputs.get("background"),
         )
         return {"psnr": psnr(pred, gt)}
 
@@ -123,6 +129,7 @@ class NeuSModel(Model):
     def get_loss_dict(outputs, batch, metrics_dict=None, params=None, config=None, **kw):
         pred, gt = renderers.blend_background_for_loss_computation(
             outputs["rgb"], outputs["accumulation"], batch["image"],
+            background=outputs.get("background"),
             background_color=config.background_color if config else "black",
         )
         loss_dict = {"rgb_loss": mse_loss(pred, gt)}

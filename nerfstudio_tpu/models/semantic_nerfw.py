@@ -129,7 +129,8 @@ class SemanticNerfWModel(Model):
     @staticmethod
     def get_metrics_dict(outputs, batch, params=None):
         pred, gt = renderers.blend_background_for_loss_computation(
-            outputs["rgb"], outputs["accumulation"], batch["image"], background_color="black"
+            outputs["rgb"], outputs["accumulation"], batch["image"],
+            background_color="black",
         )
         return {"psnr": psnr(pred, gt)}
 
@@ -137,12 +138,13 @@ class SemanticNerfWModel(Model):
     def get_loss_dict(outputs, batch, metrics_dict=None, params=None, config=None, **kw):
         """(reference semantic_nerfw.py:214-255): uncertainty-weighted MSE +
         betas regularizer + transient density L1 + semantic CE."""
+        bg = config.background_color if config else "black"
         pred_c, gt = renderers.blend_background_for_loss_computation(
             outputs["rgb_coarse"], outputs["accumulation_coarse"], batch["image"],
-            background_color="black",
+            background_color=bg,
         )
         pred_f, gt_f = renderers.blend_background_for_loss_computation(
-            outputs["rgb"], outputs["accumulation"], batch["image"], background_color="black"
+            outputs["rgb"], outputs["accumulation"], batch["image"], background_color=bg
         )
         loss_dict = {"rgb_loss_coarse": mse_loss(pred_c, gt)}
         if "uncertainty" in outputs:
