@@ -19,7 +19,37 @@ import numpy as np
 BASELINE_RAYS_PER_SEC = 70000.0  # nerfacto-big, 1x V100
 
 
+def _device_watchdog(timeout_s: float = 600.0) -> None:
+    """Abort (exit 3) if the accelerator backend never comes up.
+
+    The tunneled PJRT client blocks forever inside ``make_c_api_client`` when
+    the device relay is down; without this the driver's bench run hangs
+    instead of failing with a diagnosable message."""
+    import os
+    import threading
+
+    def _bail() -> None:
+        import sys
+
+        print(
+            f"bench: accelerator backend failed to initialize within "
+            f"{timeout_s:.0f}s (device tunnel down?); aborting",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, _bail)
+    t.daemon = True
+    t.start()
+    import jax
+
+    jax.devices()  # force backend init under the watchdog
+    t.cancel()
+
+
 def main() -> None:
+    _device_watchdog()
     import jax
 
     from __graft_entry__ import _synthetic_setup
@@ -61,17 +91,40 @@ def main() -> None:
     state = pipeline.init_state(key, params=params)
     aux_hook = NerfactoModel.make_aux_update_fn(model_train, cfg.model)
 
-    def run(state, key, start_step, n_steps):
-        """Steady-state trainer loop: aux updates + per-step kwargs."""
-        metrics = None
-        for i in range(n_steps):
-            step = start_step + i
-            key, k_aux, k_step = jax.random.split(key, 3)
-            if aux_hook is not None:
-                state = aux_hook(state, step, k_aux)
-            kwargs = NerfactoModel.step_kwargs(step, cfg.model)
-            state, metrics = pipeline.train_step(state, dm.train_images, k_step, **kwargs)
-        return state, key, metrics
+    scan_k = int(os.environ.get("NST_BENCH_SCAN", "0"))
+    if scan_k > 1:
+        # K steps per dispatch: schedules + occupancy updates move in-graph
+        aux_traced = NerfactoModel.make_aux_update_traced(model_train, cfg.model)
+        scan_fn = pipeline.build_train_step_scan(
+            NerfactoModel, cfg.model, aux_update=aux_traced
+        )
+        # align the step counter so in-graph schedules see the right step
+        import jax.numpy as jnp
+
+        state = state.replace(step=jnp.asarray(6000, state.step.dtype))
+
+        def run(state, key, start_step, n_steps):
+            metrics = None
+            n_disp = max(1, n_steps // scan_k)
+            for _ in range(n_disp):
+                key, k = jax.random.split(key)
+                state, metrics = scan_fn(state, dm.train_images, k, n_steps=scan_k)
+            run.steps_done = n_disp * scan_k
+            return state, key, metrics
+
+    else:
+
+        def run(state, key, start_step, n_steps):
+            """Steady-state trainer loop: aux updates + per-step kwargs."""
+            metrics = None
+            for i in range(n_steps):
+                step = start_step + i
+                key, k_aux, k_step = jax.random.split(key, 3)
+                if aux_hook is not None:
+                    state = aux_hook(state, step, k_aux)
+                kwargs = NerfactoModel.step_kwargs(step, cfg.model)
+                state, metrics = pipeline.train_step(state, dm.train_images, k_step, **kwargs)
+            return state, key, metrics
 
     # warmup: compile every variant (update_proposals on/off, aux update)
     state, key, metrics = run(state, key, 6000, 12)
@@ -84,7 +137,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     assert np.isfinite(loss), f"bench loss not finite: {loss}"
 
-    rays_per_sec = rays_per_batch * n_steps / dt
+    rays_per_sec = rays_per_batch * getattr(run, "steps_done", n_steps) / dt
     print(
         json.dumps(
             {

@@ -73,6 +73,13 @@ class Trainer:
         self.writer.max_steps = config.max_num_iterations
         self.viewer = None
         self._ckpt_mgr = None
+        # serializes step DISPATCH against the viewer's param-snapshot copy:
+        # train_step donates state buffers, so a render reading live params
+        # races with donation ("Array has been deleted"); the viewer copies
+        # under this lock instead (reference trainer.py:117 train_lock)
+        import threading
+
+        self.train_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def setup(self) -> None:
@@ -163,14 +170,15 @@ class Trainer:
         kwargs = self.step_kwargs_fn(step)
         dm = self.pipeline.datamanager
         dm.maybe_reload(step)
-        if self.pipeline.aux_update_fn is not None:
-            self.key, aux_key = jax.random.split(self.key)
-            self.state = self.pipeline.aux_update_fn(self.state, step, aux_key)
-        if getattr(dm, "_subsetting", False):
-            kwargs = dict(kwargs, resident_map=dm.resident_map)
-        self.state, metrics = self.pipeline.train_step(
-            self.state, dm.train_images, step_key, **kwargs
-        )
+        with self.train_lock:
+            if self.pipeline.aux_update_fn is not None:
+                self.key, aux_key = jax.random.split(self.key)
+                self.state = self.pipeline.aux_update_fn(self.state, step, aux_key)
+            if getattr(dm, "_subsetting", False):
+                kwargs = dict(kwargs, resident_map=dm.resident_map)
+            self.state, metrics = self.pipeline.train_step(
+                self.state, dm.train_images, step_key, **kwargs
+            )
         return metrics
 
     def train(self) -> None:
@@ -184,7 +192,9 @@ class Trainer:
             try:
                 from nerfstudio_tpu.viewer.server import Viewer
 
-                self.viewer = Viewer(self.pipeline, lambda: self.state)
+                self.viewer = Viewer(
+                    self.pipeline, lambda: self.state, train_lock=self.train_lock
+                )
                 self.viewer.start()
             except Exception as e:  # noqa: BLE001
                 print(f"viewer unavailable: {e}")

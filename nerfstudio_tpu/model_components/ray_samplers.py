@@ -305,10 +305,16 @@ class ProposalNetworkSampler:
                 )
             if is_prop:
                 density = density_fns[i](ray_samples.frustums.get_positions())
-                if not update_proposals:
-                    # gate gradients through the proposal density between
-                    # update steps (reference :604-609 no_grad trick)
-                    density = jax.lax.stop_gradient(density)
+                if isinstance(update_proposals, bool):
+                    if not update_proposals:
+                        # gate gradients through the proposal density between
+                        # update steps (reference :604-609 no_grad trick)
+                        density = jax.lax.stop_gradient(density)
+                else:
+                    # traced gate (scan-able): value is exactly `density`
+                    # either way; gradient flows only where g == 1
+                    g = update_proposals.astype(density.dtype)
+                    density = g * density + (1.0 - g) * jax.lax.stop_gradient(density)
                 weights = ray_samples.get_weights(density)
                 weights_list.append(weights)
                 ray_samples_list.append(ray_samples)

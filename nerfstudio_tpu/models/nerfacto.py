@@ -392,6 +392,42 @@ class NerfactoModel(Model):
 
         return hook
 
+    @staticmethod
+    def make_aux_update_traced(model: "NerfactoModel", config: NerfactoModelConfig):
+        """In-graph variant of the occupancy-update hook for scan dispatch:
+        the every-N gate becomes a ``lax.cond`` on the traced step counter."""
+        if not config.use_occupancy_sampler:
+            return None
+        from nerfstudio_tpu.ops.occupancy import update_occupancy_grid
+
+        def update(aux, params, step, key):
+            if aux is None:
+                return aux
+
+            def density_fn(positions01):
+                return model.apply(
+                    params,
+                    positions01,
+                    method=lambda m, p: m.field.density_from_normalized(p),
+                )
+
+            def do(a):
+                return update_occupancy_grid(
+                    a,
+                    density_fn,
+                    key,
+                    occ_thre=config.occ_threshold,
+                    ema_decay=config.occ_ema_decay,
+                    cells_per_update=config.occ_cells_per_update,
+                )
+
+            pred = (step >= config.occ_warmup_steps) & (
+                step % config.occ_update_every == 0
+            )
+            return jax.lax.cond(pred, do, lambda a: a, aux)
+
+        return update
+
     # ------------------------------------------------------------------
     @staticmethod
     def get_metrics_dict(outputs, batch, params=None):
@@ -470,4 +506,28 @@ class NerfactoModel(Model):
             )
         )
         kwargs["update_proposals"] = step < config.proposal_warmup or step % every == 0
+        return kwargs
+
+    @staticmethod
+    def step_kwargs_traced(step: jnp.ndarray, config: NerfactoModelConfig) -> Dict:
+        """In-graph variant of :meth:`step_kwargs` for multi-step scan
+        dispatch: ``step`` is a traced int32, anneal and the proposal-update
+        gate come out as traced arrays (the sampler accepts a traced gate)."""
+        kwargs = {}
+        if config.use_proposal_weight_anneal:
+            n = config.proposal_weights_anneal_max_num_iters
+            s = config.proposal_weights_anneal_slope
+            t = jnp.clip(step.astype(jnp.float32) / n, 0.0, 1.0)
+            kwargs["anneal"] = (s * t) / ((s - 1.0) * t + 1.0)
+        else:
+            kwargs["anneal"] = jnp.float32(1.0)
+        every = jnp.clip(
+            jnp.floor(
+                step.astype(jnp.float32)
+                * (config.proposal_update_every / max(config.proposal_warmup, 1))
+            ),
+            1,
+            config.proposal_update_every,
+        ).astype(jnp.int32)
+        kwargs["update_proposals"] = (step < config.proposal_warmup) | (step % every == 0)
         return kwargs

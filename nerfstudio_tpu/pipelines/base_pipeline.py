@@ -62,6 +62,7 @@ class VanillaPipeline:
         self.mesh = mesh
         self.loss_coefficients = loss_coefficients or {}
         self._train_step = None
+        self._train_step_scan = None
         self._eval_chunk = None
         # optional host-side hook: (state, step, key) -> state, run by the
         # trainer BEFORE each train step (occupancy updates, grid upsampling)
@@ -154,6 +155,71 @@ class VanillaPipeline:
 
         self._train_step = train_step
         return train_step
+
+    def build_train_step_scan(self, model_cls, model_config, aux_update=None) -> Callable:
+        """K steps in ONE dispatch via ``lax.scan``.
+
+        Hides the per-step host->device dispatch gap (~ms through a tunneled
+        runtime) behind on-device iteration. Per-step schedule values (anneal,
+        proposal-update gate) are computed in-graph from the step counter via
+        the model's ``step_kwargs_traced``; rng is ``fold_in(key, i)``.
+        Only valid when no host-side per-step work is needed (no aux update
+        fn, no resident-subset remap) — callers must check."""
+        dm = self.datamanager
+        cameras = dm.train_cameras
+        model = self.model_train
+        mesh = self.mesh
+        tx = self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("n_steps",))
+        def train_step_scan(
+            state: TrainState,
+            images: jnp.ndarray,
+            key: jax.Array,
+            n_steps: int,
+        ):
+            def body(st, i):
+                kwargs = model_cls.step_kwargs_traced(st.step, model_config)
+                if aux_update is not None:
+                    k_pix, k_model, k_aux = jax.random.split(
+                        jax.random.fold_in(key, i), 3
+                    )
+                    st = st.replace(aux=aux_update(st.aux, st.params, st.step, k_aux))
+                else:
+                    # 2-way split matches the single-step program's rng exactly
+                    k_pix, k_model = jax.random.split(jax.random.fold_in(key, i))
+                idx, batch = dm.sample_train_batch(k_pix, images)
+                idx = shard_rays(idx, mesh)
+                batch = shard_rays(batch, mesh)
+
+                def loss_fn(params):
+                    rb = generate_rays_from_indices(cameras, idx)
+                    outputs = model.apply(
+                        params, rb, key=k_model, model_aux=st.aux, **kwargs
+                    )
+                    metrics = model.get_metrics_dict(outputs, batch, params)
+                    loss_dict = model.get_loss_dict(
+                        outputs, batch, metrics, params, config=model.config
+                    )
+                    return self._weighted_total(loss_dict), (loss_dict, metrics)
+
+                (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(st.params)
+                updates, new_opt_state = tx.update(grads, st.opt_state, st.params)
+                new_params = optax.apply_updates(st.params, updates)
+                new_st = TrainState(
+                    params=new_params, opt_state=new_opt_state, step=st.step + 1,
+                    aux=st.aux,
+                )
+                return new_st, {"loss": loss, **loss_dict, **metrics}
+
+            state, metrics_seq = jax.lax.scan(body, state, jnp.arange(n_steps))
+            # report the window's LAST step (matches per-step logging cadence)
+            return state, jax.tree_util.tree_map(lambda m: m[-1], metrics_seq)
+
+        self._train_step_scan = train_step_scan
+        return train_step_scan
 
     def train_step(self, state, images, key, **step_kwargs):
         if self._train_step is None:

@@ -71,13 +71,19 @@ class SplatPipeline:
         datamanager: FullImageDatamanager,
         model: SplatfactoModel,
         max_steps: int = 30000,
+        mesh=None,
     ):
         self.datamanager = datamanager
         self.model = model
         self.tx = build_splat_optimizers(model.config, max_steps)
         self._means_lr = lambda step: means_lr_host(step, max_steps)
         self._train_step = None
+        self._train_step_batch = None
         self._refine = None
+        # data-parallel SPMD over a `data` mesh axis: one camera per device
+        # per step, replicated gaussian state, gradient mean by sharding
+        # (reference DDP semantics, scripts/train.py:161-226)
+        self.mesh = mesh
 
     def init_state(self, seed_points=None, scene_scale: float = 1.0, seed: int = 42) -> SplatTrainState:
         params, aux = __import__(
@@ -192,6 +198,136 @@ class SplatPipeline:
         self._train_step = train_step
         return train_step
 
+    def build_train_step_batch(self):
+        """Multi-camera data-parallel train step for a ``data`` mesh.
+
+        One jitted SPMD program: the camera batch (one camera per device) is
+        sharded on the mesh's ``data`` axis, gaussian params/opt-state stay
+        replicated, and the mean loss over cameras makes GSPMD insert the
+        gradient all-reduce — the TPU-native equivalent of the reference's
+        DDP splatfacto training (reference scripts/train.py:161-226,
+        pipelines/base_pipeline.py:279-282). Densification statistics
+        accumulate the per-view screen gradients summed over the batch (the
+        1/B factor from the mean loss is undone so refine thresholds keep
+        their per-view calibration)."""
+        model = self.model
+        tx = self.tx
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), static_argnames=("width", "height", "sh_degree")
+        )
+        def train_step_batch(
+            state: SplatTrainState,
+            c2ws: jnp.ndarray,  # (B, 3, 4)
+            Ks: jnp.ndarray,  # (B, 4) fx fy cx cy
+            gt_images: jnp.ndarray,  # (B, H, W, C)
+            keys: jax.Array,  # (B,) PRNG keys
+            cam_idx: jnp.ndarray,  # (B,) int32
+            width: int,
+            height: int,
+            sh_degree: int,
+            means_lr: float = 0.0,
+        ):
+            n_cap = model.config.max_gaussians
+            batch = c2ws.shape[0]
+            probe = jnp.zeros((batch, n_cap, 2))
+
+            def loss_fn(params, probe):
+                def per_camera(c2w, K, gt, key, ci, pr):
+                    k_bg, _ = jax.random.split(key)
+                    c2w_adj = c2w
+                    if model.config.camera_optimizer_mode != "off":
+                        from nerfstudio_tpu.cameras.lie_groups import (
+                            exp_map_SE3,
+                            exp_map_SO3xR3,
+                        )
+                        from nerfstudio_tpu.utils.poses import multiply as pose_multiply
+
+                        exp_map = (
+                            exp_map_SE3
+                            if model.config.camera_optimizer_mode == "SE3"
+                            else exp_map_SO3xR3
+                        )
+                        adj = exp_map(params["camera_opt"][ci][None])[0]
+                        c2w_adj = pose_multiply(adj, c2w)
+                    outputs = model.render(
+                        params, state.aux.alive, c2w_adj,
+                        (K[0], K[1], K[2], K[3]), width, height,
+                        sh_degree_active=sh_degree, key=k_bg, means2d_probe=pr,
+                    )
+                    if model.config.use_bilateral_grid:
+                        from nerfstudio_tpu.model_components.bilateral_grid import (
+                            slice_bilateral_grid,
+                        )
+
+                        outputs = dict(outputs)
+                        outputs["rgb_raw"] = outputs["rgb"]
+                        outputs["rgb"] = jnp.clip(
+                            slice_bilateral_grid(params["bilateral_grids"][ci], outputs["rgb"]),
+                            0.0,
+                            1.0,
+                        )
+                    loss, loss_dict = model.get_loss(outputs, gt, params, state.aux.alive)
+                    stats = {
+                        "visible": outputs["visible"],
+                        "radii": outputs["radii"],
+                        "l1": loss_dict["l1"],
+                        "ssim_loss": loss_dict["ssim_loss"],
+                        "psnr": psnr(outputs["rgb"], loss_dict["gt"]),
+                    }
+                    return loss, stats
+
+                losses, stats = jax.vmap(per_camera)(c2ws, Ks, gt_images, keys, cam_idx, probe)
+                return jnp.mean(losses), stats
+
+            (loss, stats), (grads, probe_grad) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, probe)
+
+            k_noise = jax.random.fold_in(keys[0], 1)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            if model.config.strategy == "mcmc":
+                new_params = dict(new_params)
+                new_params["means"] = model.mcmc_noise(
+                    new_params, state.aux.alive, k_noise, means_lr
+                )
+
+            # per-view screen-gradient norms: undo the mean-loss 1/B so each
+            # view contributes at the single-camera scale, then SUM views
+            # (grad_count sums visibility, so refine's mean-per-view is exact)
+            g_norm = (
+                jnp.linalg.norm(probe_grad, axis=-1)
+                * float(batch)
+                * 0.5
+                * max(width, height)
+            )
+            visible = stats["visible"]  # (B, n_cap) bool
+            aux = state.aux
+            new_aux = SplatAux(
+                alive=aux.alive,
+                grad_accum=aux.grad_accum + jnp.sum(jnp.where(visible, g_norm, 0.0), axis=0),
+                grad_count=aux.grad_count + jnp.sum(visible.astype(jnp.float32), axis=0),
+                max_radii=jnp.maximum(
+                    aux.max_radii,
+                    jnp.max(stats["radii"], axis=0) / float(max(width, height)),
+                ),
+            )
+            new_state = SplatTrainState(
+                params=new_params, opt_state=new_opt_state, aux=new_aux, step=state.step + 1
+            )
+            metrics = {
+                "loss": loss,
+                "l1": jnp.mean(stats["l1"]),
+                "ssim_loss": jnp.mean(stats["ssim_loss"]),
+                "psnr": jnp.mean(stats["psnr"]),
+                "num_alive": jnp.sum(aux.alive),
+            }
+            return new_state, metrics
+
+        self._train_step_batch = train_step_batch
+        return train_step_batch
+
     def build_refine(self):
         model = self.model
 
@@ -304,7 +440,10 @@ class SplatPipeline:
         steps_per_save: int = 0,
     ) -> SplatTrainState:
         cfg = self.model.config
-        if self._train_step is None:
+        use_mesh = self.mesh is not None and self.mesh.size > 1
+        if use_mesh and self._train_step_batch is None:
+            self.build_train_step_batch()
+        if self._train_step is None and not use_mesh:
             self.build_train_step()
         if self._refine is None:
             self.build_refine()
@@ -321,23 +460,67 @@ class SplatPipeline:
         np_w = np.asarray(jnp.broadcast_to(cams.width, (len(np_fx), 1)))[:, 0]
         np_c2w = np.asarray(cams.camera_to_worlds)
 
+        if use_mesh:
+            from nerfstudio_tpu.parallel.mesh import data_sharding, replicated
+
+            batch_shard = data_sharding(self.mesh)
+            repl = replicated(self.mesh)
+            state = jax.device_put(state, repl)
+            n_dev = self.mesh.size
+            assert np.all(np_h == np_h[0]) and np.all(np_w == np_w[0]), (
+                "mesh splat training needs uniform image resolution "
+                "(one camera per device, one static (H, W) program)"
+            )
+
         for step in range(int(state.step), num_iterations):
-            cam_idx, image = dm.next_train(step)
             d = self.model.downscale_at(step)
-            K = np.array(
-                [np_fx[cam_idx] / d, np_fy[cam_idx] / d, np_cx[cam_idx] / d, np_cy[cam_idx] / d],
-                np.float32,
-            )
-            h = int(np_h[cam_idx]) // d
-            w = int(np_w[cam_idx]) // d
-            if d > 1:
-                image = jax.image.resize(image, (h, w, image.shape[-1]), "linear")
-            key, k = jax.random.split(key)
-            state, metrics = self._train_step(
-                state, np_c2w[cam_idx], K, image, k,
-                width=w, height=h, sh_degree=self.model.sh_degree_at(step),
-                means_lr=self._means_lr(step), cam_idx=cam_idx,
-            )
+            if use_mesh:
+                picks = [dm.next_train(step) for _ in range(n_dev)]
+                idxs = [p[0] for p in picks]
+                images = jnp.stack([p[1] for p in picks])
+                h = int(np_h[idxs[0]]) // d
+                w = int(np_w[idxs[0]]) // d
+                if d > 1:
+                    images = jax.image.resize(
+                        images, (n_dev, h, w, images.shape[-1]), "linear"
+                    )
+                Ks = np.stack(
+                    [
+                        np.array(
+                            [np_fx[i] / d, np_fy[i] / d, np_cx[i] / d, np_cy[i] / d],
+                            np.float32,
+                        )
+                        for i in idxs
+                    ]
+                )
+                key, k = jax.random.split(key)
+                step_keys = jax.random.split(k, n_dev)
+                state, metrics = self._train_step_batch(
+                    state,
+                    jax.device_put(jnp.asarray(np_c2w[idxs]), batch_shard),
+                    jax.device_put(jnp.asarray(Ks), batch_shard),
+                    jax.device_put(images, batch_shard),
+                    jax.device_put(step_keys, batch_shard),
+                    jax.device_put(jnp.asarray(idxs, jnp.int32), batch_shard),
+                    width=w, height=h, sh_degree=self.model.sh_degree_at(step),
+                    means_lr=self._means_lr(step),
+                )
+            else:
+                cam_idx, image = dm.next_train(step)
+                K = np.array(
+                    [np_fx[cam_idx] / d, np_fy[cam_idx] / d, np_cx[cam_idx] / d, np_cy[cam_idx] / d],
+                    np.float32,
+                )
+                h = int(np_h[cam_idx]) // d
+                w = int(np_w[cam_idx]) // d
+                if d > 1:
+                    image = jax.image.resize(image, (h, w, image.shape[-1]), "linear")
+                key, k = jax.random.split(key)
+                state, metrics = self._train_step(
+                    state, np_c2w[cam_idx], K, image, k,
+                    width=w, height=h, sh_degree=self.model.sh_degree_at(step),
+                    means_lr=self._means_lr(step), cam_idx=cam_idx,
+                )
             if writer is not None and step % log_every == 0:
                 writer.put_dict("train", {k2: float(v) for k2, v in metrics.items()}, step)
 
@@ -438,15 +621,21 @@ class SplatPipeline:
         }, out
 
 
-def build_splat_pipeline(config) -> Tuple["SplatPipeline", SplatTrainState]:
+def build_splat_pipeline(
+    config, use_mesh: bool = True
+) -> Tuple["SplatPipeline", SplatTrainState]:
     """Assemble a splatfacto MethodConfig into (pipeline, state)."""
+    from nerfstudio_tpu.parallel.mesh import make_mesh
     from nerfstudio_tpu.pipelines.factory import build_datasets
 
+    mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     train_ds, eval_ds, train_out = build_datasets(config)
     dm = FullImageDatamanager(config.datamanager, train_ds, eval_ds)
     scene_scale = float(np.asarray(train_out.scene_box.aabb).max())
     model = SplatfactoModel(config.model, scene_scale=scene_scale)
-    pipeline = SplatPipeline(dm, model, max_steps=config.trainer.max_num_iterations)
+    pipeline = SplatPipeline(
+        dm, model, max_steps=config.trainer.max_num_iterations, mesh=mesh
+    )
     seed_pts = None
     md = train_out.metadata
     if md.get("points3D_xyz") is not None:

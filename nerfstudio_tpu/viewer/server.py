@@ -39,9 +39,13 @@ class Viewer:
         websocket_port: int = 7007,
         http_port: int = 7008,
         max_resolution: int = 512,
+        train_lock=None,
     ):
         self.pipeline = pipeline
         self.state_getter = state_getter
+        # serializes the param-snapshot copy against train-step dispatch
+        # (train_step donates buffers; see Trainer.train_lock)
+        self.train_lock = train_lock
         self.websocket_port = websocket_port
         self.http_port = http_port
         self.max_resolution = max_resolution
@@ -207,9 +211,27 @@ class Viewer:
         """Render one camera -> (res, res, 3) float rgb in [0,1], applying the
         control panel's output/colormap/crop/background/time settings
         (reference control_panel.py output selection + colormap options)."""
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
 
-        state = self.state_getter()
+        # snapshot params/aux under the train lock: train_step DONATES the
+        # state buffers, so rendering from the live arrays races with the
+        # next dispatch ("Array has been deleted"). The copies are enqueued
+        # before any later donating step, so they read valid buffers.
+        lock = self.train_lock if self.train_lock is not None else contextlib.nullcontext()
+
+        def _snap(tree):
+            return jax.tree_util.tree_map(
+                lambda x: x.copy() if hasattr(x, "copy") else x, tree
+            )
+
+        with lock:
+            state = self.state_getter()
+            # only params + aux are read by renders; skip the opt-state copy
+            if hasattr(state, "replace"):
+                state = state.replace(params=_snap(state.params), aux=_snap(state.aux))
         ctl = self.control
         focal = float(np.asarray(cam.fx).reshape(-1)[0])
         if hasattr(self.pipeline, "model") and hasattr(self.pipeline.model, "render"):

@@ -1,0 +1,90 @@
+"""Multi-step scan dispatch: K steps in one jitted program must reproduce K
+sequential single-step dispatches exactly (same rng schedule, in-graph
+anneal/update-gate vs host-computed step kwargs).
+
+Reference semantics: nerfacto proposal anneal + update gating
+(reference nerfstudio/models/nerfacto.py:262-296, ray_samplers.py:601-609);
+the scan is a TPU-side optimization hiding per-step dispatch latency.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from fixtures import make_blender_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    return make_blender_fixture(tmp_path_factory.mktemp("blender_scan"), hw=16)
+
+
+def _tiny_nerfacto(blender_dir):
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+    from nerfstudio_tpu.pipelines.factory import build_pipeline
+
+    config = get_method("nerfacto")
+    config.dataparser = BlenderDataParserConfig(data=blender_dir)
+    config.data = blender_dir
+    config.datamanager.train_num_rays_per_batch = 32
+    m = config.model
+    m.num_proposal_samples_per_ray = (8, 8)
+    m.num_nerf_samples_per_ray = 8
+    m.log2_hashmap_size = 9
+    m.max_res = 32
+    # exercise the anneal + update-gate schedules inside the window
+    m.proposal_warmup = 2
+    m.proposal_update_every = 2
+    m.proposal_weights_anneal_max_num_iters = 4
+    return build_pipeline(config, use_mesh=False)
+
+
+def test_scan_matches_sequential(blender_dir):
+    from nerfstudio_tpu.models.nerfacto import NerfactoModel
+
+    pipeline, state, config = _tiny_nerfacto(blender_dir)
+    images = pipeline.datamanager.train_images
+    base_key = jax.random.PRNGKey(3)
+    n = 4
+
+    # sequential: one dispatch per step, host-computed step kwargs
+    seq_state = state
+    for i in range(n):
+        kwargs = NerfactoModel.step_kwargs(i, config.model)
+        seq_state, seq_metrics = pipeline.train_step(
+            seq_state, images, jax.random.fold_in(base_key, i), **kwargs
+        )
+
+    # scan: all steps in one program
+    pipeline2, state2, config2 = _tiny_nerfacto(blender_dir)
+    scan = pipeline2.build_train_step_scan(NerfactoModel, config2.model)
+    scan_state, scan_metrics = scan(state2, images, base_key, n_steps=n)
+
+    assert int(scan_state.step) == int(seq_state.step) == n
+    np.testing.assert_allclose(
+        float(scan_metrics["loss"]), float(seq_metrics["loss"]), rtol=1e-4
+    )
+    a = jax.tree_util.tree_leaves(seq_state.params)
+    b = jax.tree_util.tree_leaves(scan_state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4, atol=1e-6)
+
+
+def test_traced_step_kwargs_match_host():
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.models.nerfacto import NerfactoModel
+
+    cfg = get_method("nerfacto").model
+    for step in [0, 1, 5, 100, 1000, 5000, 10000]:
+        host = NerfactoModel.step_kwargs(step, cfg)
+        traced = NerfactoModel.step_kwargs_traced(jnp.int32(step), cfg)
+        np.testing.assert_allclose(
+            float(traced["anneal"]), host["anneal"], rtol=1e-6
+        )
+        assert bool(traced["update_proposals"]) == bool(host["update_proposals"]), step
