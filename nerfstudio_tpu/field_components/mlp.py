@@ -4,9 +4,11 @@ TPU-first design notes:
   * compute in bfloat16 (MXU native), params in float32 — replaces the
     reference's tcnn FullyFusedMLP/CutlassMLP (mlp.py:121-140) and AMP.
   * ``MLPWithHashEncoding`` is the tcnn ``NetworkWithInputEncoding``
-    equivalent (reference mlp.py:187-296): here the XLA path composes
-    hash_encode + MLP and relies on XLA fusion; a fused Pallas kernel
-    (ops/fused_hash_mlp.py) can be selected with implementation='pallas'.
+    equivalent (reference mlp.py:187-296): the XLA path composes
+    hash_encode + MLP into one fusion group — see the design note in
+    ``MLPWithHashEncoding.__call__`` for why this IS the fused TPU path
+    (a Mosaic gather kernel is blocked on current toolchain constraints,
+    PERF.md roadmap).
 """
 
 from __future__ import annotations

@@ -58,12 +58,17 @@ class ControlPanelState:
 
 
 class RenderPanel:
-    """Keyframe collection + camera-path rendering (reference render_panel.py)."""
+    """Keyframe collection + camera-path rendering (reference render_panel.py).
+
+    Keyframes carry a per-keyframe fov (reference render_panel.py Keyframe
+    override_fov); ``loop`` closes the path back to the first keyframe
+    (reference's loop toggle)."""
 
     def __init__(self):
         self.keyframes: List[dict] = []  # {c2w: (3,4) list, fov: float}
         self._render_thread: Optional[threading.Thread] = None
         self.status = "idle"
+        self.loop = False
 
     def add_keyframe(self, c2w, fov: float) -> int:
         self.keyframes.append({"c2w": np.asarray(c2w, np.float32).tolist(), "fov": float(fov)})
@@ -77,27 +82,41 @@ class RenderPanel:
             self.keyframes.pop(index)
         return len(self.keyframes)
 
+    def set_keyframe_fov(self, index: int, fov: float) -> None:
+        """Per-keyframe fov override (reference render_panel Keyframe.override_fov)."""
+        if 0 <= index < len(self.keyframes):
+            self.keyframes[index]["fov"] = float(fov)
+
+    def _effective_keyframes(self) -> List[dict]:
+        kfs = list(self.keyframes)
+        if self.loop and len(kfs) >= 2:
+            kfs.append(kfs[0])
+        return kfs
+
     def save_path_json(self, path: Path, resolution: int = 512, fps: int = 24,
                        seconds: float = 4.0) -> Path:
         """Write a camera-path json consumable by ``nst-render camera-path``
         (reference render_panel's export to camera_path.json): raw keyframes
-        plus the interpolated ``camera_path`` with 4x4 camera_to_world."""
+        plus the interpolated ``camera_path`` with 4x4 camera_to_world and a
+        per-frame fov interpolated between keyframe overrides."""
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         n_frames = max(2, int(fps * seconds))
         cam_path = []
         if len(self.keyframes) >= 2:
-            for i, c2w in enumerate(self.interpolated_path(n_frames)):
+            poses, fovs = self.interpolated_path(n_frames, return_fovs=True)
+            for c2w, fov in zip(poses, fovs):
                 m = np.eye(4, dtype=np.float32)
                 m[:3] = c2w
                 cam_path.append(
                     {
                         "camera_to_world": m.reshape(-1).tolist(),
-                        "fov": self.keyframes[0]["fov"],
+                        "fov": float(fov),
                     }
                 )
         payload = {
             "keyframes": self.keyframes,
+            "loop": self.loop,
             "camera_path": cam_path,
             "render_height": resolution,
             "render_width": resolution,
@@ -108,18 +127,53 @@ class RenderPanel:
             json.dump(payload, f, indent=2)
         return path
 
-    def interpolated_path(self, n_frames: int = 96) -> np.ndarray:
-        """-> (N, 3, 4) c2w path through the keyframes (slerp + lerp)."""
+    def load_path_json(self, path: Path) -> int:
+        """Load keyframes back from a saved camera-path json (reference
+        render_panel's 'load path' populating the keyframe list). Accepts
+        both this writer's format and a bare reference-style file with only
+        ``camera_path`` entries (4x4 row-major camera_to_world + fov)."""
+        with open(Path(path), "r", encoding="utf-8") as f:
+            payload = json.load(f)
+        self.loop = bool(payload.get("loop", False))
+        kfs = payload.get("keyframes")
+        if kfs:
+            self.keyframes = [
+                {"c2w": np.asarray(k["c2w"], np.float32).tolist(), "fov": float(k["fov"])}
+                for k in kfs
+            ]
+        else:
+            self.keyframes = []
+            for fr in payload.get("camera_path", []):
+                m = np.asarray(fr["camera_to_world"], np.float32).reshape(4, 4)
+                self.keyframes.append(
+                    {"c2w": m[:3].tolist(), "fov": float(fr.get("fov", 60.0))}
+                )
+        return len(self.keyframes)
+
+    def interpolated_path(self, n_frames: int = 96, return_fovs: bool = False):
+        """-> (N, 3, 4) c2w path through the keyframes (slerp + lerp),
+        optionally with the per-frame lerped fov track."""
         from nerfstudio_tpu.cameras import camera_utils
 
-        assert len(self.keyframes) >= 2, "need at least 2 keyframes"
-        poses = np.asarray([k["c2w"] for k in self.keyframes], np.float32)
+        kfs = self._effective_keyframes()
+        assert len(kfs) >= 2, "need at least 2 keyframes"
+        poses = np.asarray([k["c2w"] for k in kfs], np.float32)
         ks = np.tile(np.eye(3, dtype=np.float32), (len(poses), 1, 1))
         steps = max(2, n_frames // max(len(poses) - 1, 1))
         poses_i, _ = camera_utils.get_interpolated_poses_many(
             poses, ks, steps_per_transition=steps
         )
-        return np.asarray(poses_i, np.float32)
+        poses_i = np.asarray(poses_i, np.float32)
+        if not return_fovs:
+            return poses_i
+        # piecewise-linear fov between keyframes, matching the pose cadence
+        kf_fovs = np.asarray([k["fov"] for k in kfs], np.float32)
+        segs = len(kfs) - 1
+        t = np.linspace(0.0, segs, len(poses_i), endpoint=False)
+        seg = np.minimum(t.astype(int), segs - 1)
+        frac = t - seg
+        fovs = kf_fovs[seg] * (1 - frac) + kf_fovs[seg + 1] * frac
+        return poses_i, fovs
 
     def render_path_async(self, viewer, n_frames: int, resolution: int,
                           output_dir: Path) -> None:
@@ -134,12 +188,11 @@ class RenderPanel:
 
                 from nerfstudio_tpu.cameras.cameras import Cameras
 
-                path = self.interpolated_path(n_frames)
+                path, fovs = self.interpolated_path(n_frames, return_fovs=True)
                 out = Path(output_dir)
                 out.mkdir(parents=True, exist_ok=True)
-                fov = self.keyframes[0]["fov"]
-                focal = resolution / (2 * np.tan(np.deg2rad(fov) / 2))
-                for i, c2w in enumerate(path):
+                for i, (c2w, fov) in enumerate(zip(path, fovs)):
+                    focal = resolution / (2 * np.tan(np.deg2rad(fov) / 2))
                     cam = Cameras(
                         camera_to_worlds=c2w[None], fx=focal, fy=focal,
                         cx=resolution / 2, cy=resolution / 2,

@@ -67,6 +67,23 @@ class Viewer:
         self.render_panel = RenderPanel()
         self.export_panel = ExportPanel()
         self.output_dir = Path("viewer_outputs")
+        # user-API widgets declared by the method (reference viewer_elements.py):
+        # scan the pipeline + model for ViewerElement/ViewerControl attributes
+        from nerfstudio_tpu.viewer.viewer_elements import (
+            ViewerControl,
+            collect_viewer_elements,
+        )
+
+        self.custom_elements = {}
+        self.viewer_controls = []
+        for qual_name, elem in collect_viewer_elements(
+            pipeline, getattr(pipeline, "model", None)
+        ):
+            elem.install(self)
+            if isinstance(elem, ViewerControl):
+                self.viewer_controls.append(elem)
+            else:
+                self.custom_elements[qual_name] = elem
 
     @property
     def train_util(self) -> float:
@@ -106,6 +123,8 @@ class Viewer:
 
         async def handler(ws):
             self._clients.add(ws)
+            if self.custom_elements:
+                await ws.send(json.dumps(self._custom_panel_payload()))
             try:
                 async for raw in ws:
                     msg = json.loads(raw)
@@ -130,6 +149,21 @@ class Viewer:
                     elif mtype == "keyframe_delete":
                         n = self.render_panel.delete(int(msg.get("index", -1)))
                         self._send({"type": "panel", "keyframes": n})
+                    elif mtype == "keyframe_fov":
+                        self.render_panel.set_keyframe_fov(
+                            int(msg.get("index", -1)), float(msg.get("fov", 60.0))
+                        )
+                    elif mtype == "loop":
+                        self.render_panel.loop = bool(msg.get("enabled", False))
+                    elif mtype == "path_load":
+                        try:
+                            n = self.render_panel.load_path_json(
+                                Path(msg.get("path", self.output_dir / "camera_path.json"))
+                            )
+                            self.render_panel.status = f"loaded {n} keyframes"
+                            self._send({"type": "panel", "keyframes": n})
+                        except Exception as e:  # noqa: BLE001
+                            self.render_panel.status = f"error: {e}"
                     elif mtype == "path_save":
                         try:
                             p = self.render_panel.save_path_json(
@@ -156,6 +190,22 @@ class Viewer:
                             self, msg.get("kind", "pointcloud"), self.output_dir / "exports",
                             num_points=int(msg.get("num_points", 200000)),
                         )
+                    elif mtype == "custom":
+                        # user-API widget update (reference viewer_elements cb_hook)
+                        elem = self.custom_elements.get(msg.get("id") or msg.get("name"))
+                        if elem is not None:
+                            try:
+                                elem.handle(msg.get("value"))
+                            except Exception as e:  # noqa: BLE001
+                                print(f"[viewer] widget {msg.get('name')}: {e}")
+                            self.render_state = RenderState.LOW_STATIC
+                            self._dirty.set()
+                    elif mtype == "click":
+                        for vc in self.viewer_controls:
+                            try:
+                                vc.on_click(float(msg.get("u", 0.5)), float(msg.get("v", 0.5)))
+                            except Exception as e:  # noqa: BLE001
+                                print(f"[viewer] click cb: {e}")
             finally:
                 self._clients.discard(ws)
 
@@ -166,6 +216,21 @@ class Viewer:
                     await asyncio.sleep(0.25)
 
         asyncio.run(main())
+
+    def _custom_panel_payload(self) -> dict:
+        return {
+            "type": "custom_panel",
+            "elements": [
+                {**el.to_spec(), "id": name}
+                for name, el in self.custom_elements.items()
+            ],
+        }
+
+    def push_custom_panel(self) -> None:
+        """Re-broadcast widget specs after a host-side state change
+        (reference viewer_elements set_disabled/set_options)."""
+        if self.custom_elements:
+            self._send(self._custom_panel_payload())
 
     def _send(self, payload: dict) -> None:
         if self._loop is None:

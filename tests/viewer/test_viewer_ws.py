@@ -185,3 +185,62 @@ def test_http_serves_client(viewer):
     ).read().decode()
     assert "nerfstudio-tpu viewer" in html
     assert str(viewer.websocket_port) in html  # __WS_PORT__ substituted
+
+
+def test_custom_widget_panel_end_to_end(tmp_path):
+    """A method declaring ViewerElement attributes gets a custom panel: the
+    server ships specs on connect, routes updates to cb_hooks, and lifts
+    clicks to world rays (reference viewer_elements.py user API)."""
+    from nerfstudio_tpu.viewer.viewer_elements import (
+        ViewerControl,
+        ViewerSlider,
+    )
+
+    fired = []
+    clicks = []
+
+    class _WidgetModel(_FakeModel):
+        def __init__(self):
+            self.noise = ViewerSlider("noise", 0.2, 0.0, 1.0,
+                                      cb_hook=lambda e: fired.append(e.value))
+            self.ctl = ViewerControl()
+            self.ctl.register_click_cb(clicks.append)
+
+    class _WidgetPipeline(_FakePipeline):
+        def __init__(self):
+            self.model = _WidgetModel()
+            self.datamanager = _FakeDM()
+
+    v = Viewer(_WidgetPipeline(), lambda: _FakeState(), websocket_port=_free_port(),
+               http_port=_free_port(), max_resolution=128)
+    v.output_dir = tmp_path
+    assert "_WidgetModel.noise" in v.custom_elements
+    assert len(v.viewer_controls) == 1
+    v.start()
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", v.websocket_port), timeout=0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.1)
+
+    async def run():
+        uri = f"ws://127.0.0.1:{v.websocket_port}"
+        async with websockets.connect(uri) as ws:
+            # first message on connect is the custom panel spec
+            panel = json.loads(await asyncio.wait_for(ws.recv(), timeout=10))
+            assert panel["type"] == "custom_panel"
+            (spec,) = panel["elements"]
+            assert spec["id"] == "_WidgetModel.noise" and spec["kind"] == "slider"
+            await ws.send(json.dumps(_cam_msg()))
+            await ws.send(json.dumps({"type": "custom", "id": spec["id"], "value": 0.7}))
+            await ws.send(json.dumps({"type": "click", "u": 0.5, "v": 0.5}))
+            t0 = time.time()
+            while (not fired or not clicks) and time.time() - t0 < 10:
+                await asyncio.sleep(0.05)
+
+    asyncio.run(run())
+    assert fired == [pytest.approx(0.7)]
+    assert v.pipeline.model.noise.value == pytest.approx(0.7)
+    assert len(clicks) == 1 and clicks[0].direction[2] < 0
