@@ -375,6 +375,15 @@ method_configs["generfacto"] = MethodConfig(
 )
 
 
+# live invariant: the hand-maintained descriptions dict must track the registry
+# exactly (drift here silently hides/misdocuments methods in the CLI listing)
+assert set(descriptions) == set(method_configs), (
+    "method_configs/descriptions drift: "
+    f"missing descriptions {set(method_configs) - set(descriptions)}, "
+    f"stale descriptions {set(descriptions) - set(method_configs)}"
+)
+
+
 def get_method(name: str) -> MethodConfig:
     import copy
 

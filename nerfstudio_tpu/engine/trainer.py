@@ -218,8 +218,18 @@ class Trainer:
 
             if self.viewer is not None:
                 self.viewer.update(self, step)
-                # pause-state spin (reference trainer.py:233-312 train loop)
+                # pause-state spin (reference trainer.py:233-312 train loop).
+                # Flush the writer and checkpoint once while paused so a long
+                # pause on a preemptible host can't lose work, and keep the
+                # viewer fed.
+                paused_once = False
                 while getattr(self.viewer, "paused", False):
+                    if not paused_once:
+                        paused_once = True
+                        self.writer.flush()
+                        if cfg.steps_per_save:
+                            self.save_checkpoint(step + 1)
+                    self.viewer.update(self, step)
                     time.sleep(0.1)
 
             if cfg.steps_per_eval_batch and step % cfg.steps_per_eval_batch == 0 and step > 0:

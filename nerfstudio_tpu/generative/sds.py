@@ -56,6 +56,17 @@ def load_guidance(backend: str = "stable-diffusion") -> DiffusionGuidance:
 
         return StableDiffusion()
     except Exception:
+        import sys
+
+        print(
+            "[generfacto] WARNING: no diffusion weights found (diffusers/HF cache "
+            "unavailable) — falling back to STUB guidance. The run will only pull "
+            "renders toward a prompt-seeded color; it will NOT produce a real "
+            "text-to-3D object. Install diffusers + download StableDiffusion or "
+            "DeepFloyd weights for real SDS guidance.",
+            file=sys.stderr,
+            flush=True,
+        )
         return StubGuidance()
 
 

@@ -50,7 +50,10 @@ class SplatfactoModelConfig(ModelConfig):
     # rasterizer that over-densifies straight to max_gaussians (measured:
     # eval PSNR 17.4 @ 13k splats vs 11.1 @ 150k on the synthetic gate);
     # 0.0005 keeps growth selective.
-    densify_grad_thresh: float = 0.0005
+    # 5e-5: the gate-passing value (CONVERGENCE.md 27.4/0.909); the reference's
+    # 0.0002-ish pos-grad thresholds don't transfer because our pos grads are
+    # normalized by the saturating full-list blend, not gsplat's truncated one
+    densify_grad_thresh: float = 0.00005
     densify_size_thresh: float = 0.01
     n_split_samples: int = 2
     cull_screen_size: float = 0.15

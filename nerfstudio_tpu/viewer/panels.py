@@ -134,13 +134,21 @@ class RenderPanel:
         ``camera_path`` entries (4x4 row-major camera_to_world + fov)."""
         with open(Path(path), "r", encoding="utf-8") as f:
             payload = json.load(f)
-        self.loop = bool(payload.get("loop", False))
+        self.loop = bool(payload.get("loop", payload.get("is_cycle", False)))
         kfs = payload.get("keyframes")
         if kfs:
-            self.keyframes = [
-                {"c2w": np.asarray(k["c2w"], np.float32).tolist(), "fov": float(k["fov"])}
-                for k in kfs
-            ]
+            # accept both this writer's {"c2w": 3x4, "fov": deg} shape and the
+            # reference render_panel's {"matrix": flat 4x4, "fov": deg} shape
+            # (reference viewer/render_panel.py:1073,1095)
+            self.keyframes = []
+            for k in kfs:
+                if "c2w" in k:
+                    c2w = np.asarray(k["c2w"], np.float32)
+                else:
+                    c2w = np.asarray(k["matrix"], np.float32).reshape(4, 4)[:3]
+                self.keyframes.append(
+                    {"c2w": c2w.tolist(), "fov": float(k.get("fov", 60.0))}
+                )
         else:
             self.keyframes = []
             for fr in payload.get("camera_path", []):
@@ -166,12 +174,14 @@ class RenderPanel:
         poses_i = np.asarray(poses_i, np.float32)
         if not return_fovs:
             return poses_i
-        # piecewise-linear fov between keyframes, matching the pose cadence
+        # piecewise-linear fov on the SAME (segment, local-t) schedule the pose
+        # interpolator uses: per segment, `steps` frames at t=linspace(0,1,steps)
+        # with both endpoints included (get_interpolated_poses cadence)
         kf_fovs = np.asarray([k["fov"] for k in kfs], np.float32)
         segs = len(kfs) - 1
-        t = np.linspace(0.0, segs, len(poses_i), endpoint=False)
-        seg = np.minimum(t.astype(int), segs - 1)
-        frac = t - seg
+        j = np.arange(len(poses_i))
+        seg = np.minimum(j // steps, segs - 1)
+        frac = (j % steps) / max(steps - 1, 1)
         fovs = kf_fovs[seg] * (1 - frac) + kf_fovs[seg + 1] * frac
         return poses_i, fovs
 

@@ -157,9 +157,12 @@ class Viewer:
                         self.render_panel.loop = bool(msg.get("enabled", False))
                     elif mtype == "path_load":
                         try:
-                            n = self.render_panel.load_path_json(
-                                Path(msg.get("path", self.output_dir / "camera_path.json"))
-                            )
+                            # only load paths inside output_dir: the socket is
+                            # unauthenticated, so a client-supplied filesystem
+                            # path would be an arbitrary-file probe
+                            p = Path(msg.get("path", "camera_path.json"))
+                            p = (Path(self.output_dir) / p.name).resolve()
+                            n = self.render_panel.load_path_json(p)
                             self.render_panel.status = f"loaded {n} keyframes"
                             self._send({"type": "panel", "keyframes": n})
                         except Exception as e:  # noqa: BLE001
@@ -197,7 +200,7 @@ class Viewer:
                             try:
                                 elem.handle(msg.get("value"))
                             except Exception as e:  # noqa: BLE001
-                                print(f"[viewer] widget {msg.get('name')}: {e}")
+                                print(f"[viewer] widget {msg.get('id')}: {e}")
                             self.render_state = RenderState.LOW_STATIC
                             self._dirty.set()
                     elif mtype == "click":

@@ -322,18 +322,45 @@ class ViewerControl:
         return click
 
 
-def collect_viewer_elements(*roots) -> List[Tuple[str, Any]]:
-    """Scan objects (model, pipeline, ...) for ViewerElement / ViewerControl
-    attributes, depth-1, returning (qualified_name, element) pairs
-    (reference viewer.py's nested get_viewer_elements scan)."""
+def collect_viewer_elements(*roots, max_depth: int = 3) -> List[Tuple[str, Any]]:
+    """Recursively scan objects (model, pipeline, nested fields/components...)
+    for ViewerElement / ViewerControl attributes, returning
+    (qualified_name, element) pairs (reference viewer.py:268 parse_object).
+
+    Recursion is bounded by ``max_depth`` and a visited set; containers
+    (list/tuple/dict) are traversed one level so element lists register too."""
     found: List[Tuple[str, Any]] = []
-    seen = set()
-    for root in roots:
-        if root is None:
-            continue
-        attrs = getattr(root, "__dict__", {})
+    seen: set = set()
+    visited: set = set()
+
+    def _scan(obj: Any, prefix: str, depth: int) -> None:
+        if obj is None or id(obj) in visited or depth > max_depth:
+            return
+        visited.add(id(obj))
+        attrs = getattr(obj, "__dict__", None)
+        if not isinstance(attrs, dict):
+            return
         for attr_name, val in attrs.items():
-            if isinstance(val, (ViewerElement, ViewerControl)) and id(val) not in seen:
-                seen.add(id(val))
-                found.append((f"{type(root).__name__}.{attr_name}", val))
+            if attr_name.startswith("__"):
+                continue
+            name = f"{prefix}.{attr_name}" if prefix else attr_name
+            candidates: List[Tuple[str, Any]] = [(name, val)]
+            if isinstance(val, (list, tuple)):
+                candidates = [(f"{name}[{i}]", v) for i, v in enumerate(val)]
+            elif isinstance(val, dict):
+                candidates = [(f"{name}[{k}]", v) for k, v in val.items()]
+            for cname, cval in candidates:
+                if isinstance(cval, (ViewerElement, ViewerControl)):
+                    if id(cval) not in seen:
+                        seen.add(id(cval))
+                        found.append((cname, cval))
+                elif depth < max_depth and hasattr(cval, "__dict__"):
+                    # skip obvious non-containers to bound the walk
+                    mod = type(cval).__module__ or ""
+                    if not mod.startswith(("jax", "numpy", "optax", "builtins")):
+                        _scan(cval, cname, depth + 1)
+
+    for root in roots:
+        if root is not None:
+            _scan(root, type(root).__name__, 0)
     return found

@@ -63,6 +63,41 @@ def test_save_load_roundtrip(tmp_path):
     )
 
 
+def test_load_reference_keyframes_with_matrix(tmp_path):
+    """A reference-exported file stores keyframes under 'matrix' (flattened
+    4x4) and loop under 'is_cycle' (reference render_panel.py:1073,1095)."""
+    kfs = []
+    for i in range(3):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = i
+        kfs.append({"matrix": m.reshape(-1).tolist(), "fov": 45.0 + i})
+    f = tmp_path / "camera_path.json"
+    f.write_text(json.dumps({"keyframes": kfs, "is_cycle": True, "camera_path": []}))
+    p = RenderPanel()
+    assert p.load_path_json(f) == 3
+    assert p.loop is True
+    assert p.keyframes[2]["fov"] == 47.0
+    np.testing.assert_allclose(np.asarray(p.keyframes[2]["c2w"]), _pose(2.0), atol=1e-6)
+
+
+def test_fov_track_matches_pose_cadence():
+    """At a frame whose pose IS keyframe k, the fov must be exactly kf k's fov
+    (the fov track shares the pose interpolator's per-segment schedule)."""
+    p = _panel_with_keyframes(3)  # fovs 50, 60, 70
+    poses, fovs = p.interpolated_path(20, return_fovs=True)
+    kf_positions = np.asarray([0.0, 1.0, 2.0])
+    for kf_i, (x, want_fov) in enumerate(zip(kf_positions, [50.0, 60.0, 70.0])):
+        hits = np.where(np.abs(poses[:, 0, 3] - x) < 1e-6)[0]
+        assert hits.size, f"keyframe {kf_i} pose missing from the path"
+        assert any(abs(fovs[h] - want_fov) < 1e-4 for h in hits), (
+            kf_i,
+            fovs[hits],
+            want_fov,
+        )
+    # final frame reaches the last keyframe's fov
+    assert abs(fovs[-1] - 70.0) < 1e-4
+
+
 def test_load_reference_style_camera_path(tmp_path):
     """A bare reference-style file (camera_path only, 4x4 row-major) loads."""
     frames = []

@@ -76,8 +76,10 @@ def test_collect_scan_finds_widgets_and_controls():
     p = FakePipeline(m)
     found = dict(collect_viewer_elements(p, p.model))
     assert "FakePipeline.check" in found
-    assert "FakeModel.slider" in found
-    assert "FakeModel.ctl" in found
+    # nested components are discovered recursively (reference viewer.py:268
+    # parse_object); the model's widgets surface under their qualified path
+    assert "FakePipeline.model.slider" in found
+    assert "FakePipeline.model.ctl" in found
     # dedup: scanning the same object twice yields each element once
     found2 = collect_viewer_elements(p, p, p.model)
     assert len(found2) == len(found)

@@ -214,7 +214,7 @@ def test_custom_widget_panel_end_to_end(tmp_path):
     v = Viewer(_WidgetPipeline(), lambda: _FakeState(), websocket_port=_free_port(),
                http_port=_free_port(), max_resolution=128)
     v.output_dir = tmp_path
-    assert "_WidgetModel.noise" in v.custom_elements
+    assert "_WidgetPipeline.model.noise" in v.custom_elements
     assert len(v.viewer_controls) == 1
     v.start()
     for _ in range(100):
@@ -232,7 +232,7 @@ def test_custom_widget_panel_end_to_end(tmp_path):
             panel = json.loads(await asyncio.wait_for(ws.recv(), timeout=10))
             assert panel["type"] == "custom_panel"
             (spec,) = panel["elements"]
-            assert spec["id"] == "_WidgetModel.noise" and spec["kind"] == "slider"
+            assert spec["id"] == "_WidgetPipeline.model.noise" and spec["kind"] == "slider"
             await ws.send(json.dumps(_cam_msg()))
             await ws.send(json.dumps({"type": "custom", "id": spec["id"], "value": 0.7}))
             await ws.send(json.dumps({"type": "click", "u": 0.5, "v": 0.5}))
