@@ -347,6 +347,112 @@ def _row_gather_block_bwd(f, res, g):
 _row_gather_block.defvjp(_row_gather_block_fwd, _row_gather_block_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _row_gather_block_tw(table_l, rows, slot, w8, f):
+    """Trilerp-WEIGHTED block gather: one row gather -> (M, f) features.
+
+    Same block layout as :func:`_row_gather_block`, but the 8 corner weights
+    ``w8`` (M, 8) are applied INSIDE the op, so the whole trilerp collapses
+    to a single fused pass (gather + weighted lane-reduce). This avoids ever
+    materializing the (M, 8, f) per-corner intermediate in HBM — round-2
+    profiling showed the outer weights-multiply autodiff and the 32 masked
+    per-corner reductions cost ~2x the gather itself (25+ ms/step of
+    convert_reduce fusions on 262k samples).
+
+    Backward: d_table = ONE row scatter-add of the weight-masked gradient
+    row; d_w8 = one re-gather pass with 8 masked reductions (needed for pose
+    gradients through the trilerp weights, e.g. camera-opt). rows/slot get
+    no gradient.
+    """
+    vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
+    wv = _w_lane_of(w8, slot, f) * vals.astype(jnp.float32)
+    # lane reduce on the MXU: one (M,128)@(128,f) matmul instead of f masked
+    # reduction passes (each of which re-reads the (M,128) rows from HBM).
+    # f32 operands: quantizing w*v to bf16 would break exact-path equality
+    # (the tables are bf16-quantized identically on every path; the weighted
+    # accumulation must stay f32).
+    return jnp.dot(
+        wv, _proj_feat(f).astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+
+def _lane_splits(f):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return lane // (8 * f), (lane % (8 * f)) // f, lane % f
+
+
+def _w_lane_of(w8, slot, f):
+    """(M,8) corner weights + block slot -> (M,128) lane weight mask."""
+    blk_of_lane, corner_of_lane, _ = _lane_splits(f)
+    w_lane = jnp.zeros((w8.shape[0], 128), jnp.float32)
+    for c in range(8):
+        w_lane = jnp.where(corner_of_lane == c, w8[:, c : c + 1], w_lane)
+    return jnp.where(blk_of_lane == slot[:, None], w_lane, 0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _proj_feat_np(f):
+    """(128, f) one-hot: lane -> feature column (numpy constant; a cached
+    jnp array would leak tracers across jit scopes)."""
+    lane = np.arange(128)
+    return np.asarray((lane % f).reshape(128, 1) == np.arange(f).reshape(1, f))
+
+
+def _proj_feat(f):
+    return jnp.asarray(_proj_feat_np(f), jnp.bfloat16)
+
+
+@functools.lru_cache(maxsize=None)
+def _proj_corner_np(f):
+    """(128, 8) one-hot: lane -> corner column."""
+    lane = np.arange(128)
+    corner = (lane % (8 * f)) // f
+    return np.asarray(corner.reshape(128, 1) == np.arange(8).reshape(1, 8))
+
+
+def _proj_corner(f):
+    return jnp.asarray(_proj_corner_np(f), jnp.bfloat16)
+
+
+def _row_gather_block_tw_fwd(table_l, rows, slot, w8, f):
+    vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
+    wv = _w_lane_of(w8, slot, f) * vals.astype(jnp.float32)
+    out = jnp.dot(
+        wv, _proj_feat(f).astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    # save the gathered rows (bf16) — cheaper than re-gathering in bwd;
+    # proto carries the table's static shape/dtype as an empty JAX array
+    proto = jax.lax.slice_in_dim(table_l, 0, 0, axis=1)  # (S, 0)
+    return out, (vals, rows, slot, w8, proto)
+
+
+def _row_gather_block_tw_bwd(f, res, g):
+    vals, rows, slot, w8, proto = res
+    s, tab_dtype = proto.shape[0], proto.dtype
+    blk_of_lane, _, _ = _lane_splits(f)
+    in_blk = blk_of_lane == slot[:, None]
+    # g broadcast to lanes via the transposed feature projection (MXU)
+    g_lane = jnp.dot(
+        g, _proj_feat(f).T.astype(jnp.float32), preferred_element_type=jnp.float32
+    )  # (M, 128)
+    # d_table: weight-masked gradient row, ONE scatter-add
+    dtab = (
+        jnp.zeros((s, 128), jnp.float32)
+        .at[rows]
+        .add(_w_lane_of(w8, slot, f) * g_lane)
+    )
+    # d_w8[m, c] = sum_i g[m, i] * entry[m, c, i] — one masked product + a
+    # (M,128)@(128,8) matmul (pose gradients through the trilerp weights)
+    gv = jnp.where(in_blk, g_lane * vals.astype(jnp.float32), 0.0)
+    dw8 = jnp.dot(
+        gv, _proj_corner(f).astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return dtab.astype(tab_dtype), None, None, dw8
+
+
+_row_gather_block_tw.defvjp(_row_gather_block_tw_fwd, _row_gather_block_tw_bwd)
+
+
 def _hash_corner(cx, cy, cz, hash_table_size):
     cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
     cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
@@ -486,21 +592,21 @@ def hash_encode(
                 blk = (bx * bs + by) * bs + bz
             else:
                 blk = _hash_corner(bx, by, bz, nblocks)
-            feats8 = _row_gather_block(
-                table[l], blk // bpr, blk % bpr, features_per_level
-            )  # (n, 8, F)
             (wx0, wx1), (wy0, wy1), (wz0, wz1) = pweights
-            acc = None
-            for c in range(8):
-                px, py, pz = (c >> 2) & 1, (c >> 1) & 1, c & 1
-                w = (
-                    (wx1 if px else wx0)
-                    * (wy1 if py else wy0)
-                    * (wz1 if pz else wz0)
+            w8 = jnp.stack(
+                [
+                    (wx1 if (c >> 2) & 1 else wx0)
+                    * (wy1 if (c >> 1) & 1 else wy0)
+                    * (wz1 if c & 1 else wz0)
+                    for c in range(8)
+                ],
+                axis=-1,
+            )  # (n, 8)
+            level_outputs.append(
+                _row_gather_block_tw(
+                    table[l], blk // bpr, blk % bpr, w8, features_per_level
                 )
-                part = w[:, None] * feats8[:, c]
-                acc = part if acc is None else acc + part
-            level_outputs.append(acc)  # (n, F)
+            )  # (n, F)
             continue
 
         if stochastic_corner:
