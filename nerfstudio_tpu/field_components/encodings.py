@@ -193,9 +193,10 @@ class HashEncoding(Encoding):
     def hash_table_size(self) -> int:
         return 2**self.log2_hashmap_size
 
-    @nn.compact
-    def __call__(self, in_tensor: jnp.ndarray) -> jnp.ndarray:
-        table = self.param(
+    def setup(self):
+        # setup-style (not @nn.compact) so the fused hash+MLP path in
+        # MLPWithHashEncoding can read ``self.hash_table`` directly
+        self.hash_table = self.param(
             "hash_table",
             lambda key: init_hash_table(
                 key,
@@ -206,9 +207,11 @@ class HashEncoding(Encoding):
                 self.param_dtype,
             ),
         )
+
+    def __call__(self, in_tensor: jnp.ndarray) -> jnp.ndarray:
         return hash_encode(
             in_tensor,
-            table,
+            self.hash_table,
             num_levels=self.num_levels,
             min_res=self.min_res,
             max_res=self.max_res,

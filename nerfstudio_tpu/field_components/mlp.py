@@ -18,6 +18,7 @@ from typing import Callable, Literal, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerfstudio_tpu.field_components.encodings import HashEncoding
 
@@ -57,25 +58,38 @@ class MLP(nn.Module):
         return self.out_dim if self.out_dim is not None else self.layer_width
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, first_layer_apply=None) -> jnp.ndarray:
+        """``first_layer_apply``: optional callable receiving the layer-0
+        Dense module and returning the layer-0 pre-activation directly (used
+        by the fused hash+MLP path to fold the first matmul into the hash
+        gather); ``x`` then only supplies the output dtype."""
         skips = set(self.skip_connections or ())
         assert 0 not in skips, "skip connection at layer 0 is nonsensical"
+        assert first_layer_apply is None or not skips, "fused first layer incompatible with skips"
         act = _activation(self.activation)
         out_act = _activation(self.out_activation)
         in_dtype = x.dtype
         h = x.astype(self.dtype)
         x0 = h
         for i in range(self.num_layers - 1):
-            if i in skips:
-                h = jnp.concatenate([h, x0], axis=-1)
-            h = nn.Dense(
+            dense = nn.Dense(
                 self.layer_width, dtype=self.dtype, param_dtype=self.param_dtype, name=f"layers_{i}"
-            )(h)
+            )
+            if i == 0 and first_layer_apply is not None:
+                h = first_layer_apply(dense).astype(self.dtype)
+            else:
+                if i in skips:
+                    h = jnp.concatenate([h, x0], axis=-1)
+                h = dense(h)
             h = act(h)
-        h = nn.Dense(
+        dense = nn.Dense(
             self.get_out_dim(), dtype=self.dtype, param_dtype=self.param_dtype,
             name=f"layers_{self.num_layers - 1}",
-        )(h)
+        )
+        if self.num_layers == 1 and first_layer_apply is not None:
+            h = first_layer_apply(dense)
+        else:
+            h = dense(h)
         h = h.astype(jnp.float32 if in_dtype == jnp.float32 else in_dtype)
         return out_act(h)
 
@@ -102,6 +116,14 @@ class MLPWithHashEncoding(nn.Module):
     z_pair: bool = False
     block: bool = False
     block_exact: bool = False
+    # Fold the first MLP matmul into the per-level block gather
+    # (ops/hash_grid._row_gather_block_mm). Verified numerically equal to the
+    # composed path (tests/field_components/test_fused_hash_mlp.py) but
+    # measured SLOWER end-to-end on v5e (108k vs 120k rays/s): the fused
+    # backward adds per-level (M,128)@(128,H) + (128,M)@(M,H) matmuls that
+    # cost more than the (M, L*F) activation round-trip they save. Kept
+    # opt-in for future toolchains / wider MLPs where the tradeoff flips.
+    fused_first_layer: bool = False
 
     def get_out_dim(self) -> int:
         return self.out_dim if self.out_dim is not None else self.layer_width
@@ -132,12 +154,52 @@ class MLPWithHashEncoding(nn.Module):
             out_activation=self.out_activation,
             name="mlp",
         )
-        # DESIGN NOTE (tcnn NetworkWithInputEncoding parity): the reference's
-        # fused CUDA kernel exists because GPU kernel-launch + global-memory
-        # round trips dominate; under XLA the encode->MLP composition is one
-        # fusion group already, and the gather itself is the measured wall
-        # (PERF.md). A Mosaic-level fused gather+trilerp kernel was explored
-        # and is blocked on dynamic_gather layout constraints (PERF.md
-        # roadmap, exp/pallas_gather.py) — until then the composed XLA path
-        # IS the TPU-native fused implementation.
+        # FUSED PATH (tcnn NetworkWithInputEncoding parity, the TPU way):
+        # for the block-packed train layout, the first MLP matmul is folded
+        # INTO the per-level gather op (ops/hash_grid._row_gather_block_mm),
+        # so the (M, L*F) feature array — whose transposed small-minor-dim
+        # layout forced XLA into ~50 GB/s strided passes — never
+        # materializes. The layer-0 Dense still owns its parameters; it is
+        # applied to the per-level lane-embedding basis to produce the
+        # (128, H) folded weights (gradients flow to W1/b1 through that
+        # application).
+        if self.fused_first_layer and self.block and not self.block_exact:
+            from nerfstudio_tpu.ops.hash_grid import (
+                _proj_level_np,
+                _row_gather_block_mm,
+                block_level_geometry,
+            )
+
+            batch_shape = x.shape[:-1]
+            pos = x.reshape(-1, 3)
+            geom = block_level_geometry(
+                pos,
+                num_levels=self.num_levels,
+                min_res=self.min_res,
+                max_res=self.max_res,
+                hash_table_size=encoding.hash_table_size,
+                features_per_level=self.features_per_level,
+            )
+            table = encoding.hash_table
+            F = self.features_per_level
+            L = self.num_levels
+
+            def first_layer_apply(dense):
+                zero = jnp.zeros((1, L * F), jnp.float32)
+                b = dense(zero)  # (1, H) = bias only
+                # per-level folded weights A_l = P_l @ W1 (+0 bias)
+                P_all = jnp.asarray(
+                    np.concatenate([_proj_level_np(F, L, l) for l in range(L)], axis=0)
+                )  # (L*128, L*F)
+                A_all = dense(P_all) - b  # (L*128, H)
+                h1 = None
+                for l, (rows, slot, w8) in enumerate(geom):
+                    part = _row_gather_block_mm(
+                        table[l], rows, slot, w8, A_all[l * 128 : (l + 1) * 128], F
+                    )
+                    h1 = part if h1 is None else h1 + part
+                h1 = h1 + b.astype(h1.dtype)
+                return h1.reshape(batch_shape + (h1.shape[-1],))
+
+            return mlp(x, first_layer_apply=first_layer_apply)
         return mlp(encoding(x))

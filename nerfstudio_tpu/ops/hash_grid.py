@@ -365,7 +365,7 @@ def _row_gather_block_tw(table_l, rows, slot, w8, f):
     no gradient.
     """
     vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
-    wv = _w_lane_of(w8, slot, f) * vals.astype(jnp.float32)
+    wv = _weighted_lanes(vals.astype(jnp.float32), w8, slot, f)
     # lane reduce on the MXU: one (M,128)@(128,f) matmul instead of f masked
     # reduction passes (each of which re-reads the (M,128) rows from HBM).
     # f32 operands: quantizing w*v to bf16 would break exact-path equality
@@ -381,13 +381,22 @@ def _lane_splits(f):
     return lane // (8 * f), (lane % (8 * f)) // f, lane % f
 
 
-def _w_lane_of(w8, slot, f):
-    """(M,8) corner weights + block slot -> (M,128) lane weight mask."""
+def _weighted_lanes(x_lane, w8, slot, f):
+    """x_lane (M,128) scaled by the corner weight of each lane, masked to the
+    sample's block: out[m, lane] = x[m, lane] * w8[m, corner(lane)] *
+    (blk(lane) == slot[m]).
+
+    The multiplicand lives INSIDE the corner selects on purpose: a standalone
+    (M,128) weight-lane mask gets CSE'd between the forward product and the
+    backward scatter mask, and XLA then materializes it to HBM (measured
+    6.5 ms/step of compare_select fusions). Keeping the product inside makes
+    the expressions structurally different, so each fuses into its consumer.
+    """
     blk_of_lane, corner_of_lane, _ = _lane_splits(f)
-    w_lane = jnp.zeros((w8.shape[0], 128), jnp.float32)
+    acc = jnp.zeros_like(x_lane)
     for c in range(8):
-        w_lane = jnp.where(corner_of_lane == c, w8[:, c : c + 1], w_lane)
-    return jnp.where(blk_of_lane == slot[:, None], w_lane, 0.0)
+        acc = acc + jnp.where(corner_of_lane == c, w8[:, c : c + 1] * x_lane, 0.0)
+    return jnp.where(blk_of_lane == slot[:, None], acc, 0.0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -416,7 +425,7 @@ def _proj_corner(f):
 
 def _row_gather_block_tw_fwd(table_l, rows, slot, w8, f):
     vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
-    wv = _w_lane_of(w8, slot, f) * vals.astype(jnp.float32)
+    wv = _weighted_lanes(vals.astype(jnp.float32), w8, slot, f)
     out = jnp.dot(
         wv, _proj_feat(f).astype(jnp.float32), preferred_element_type=jnp.float32
     )
@@ -439,7 +448,7 @@ def _row_gather_block_tw_bwd(f, res, g):
     dtab = (
         jnp.zeros((s, 128), jnp.float32)
         .at[rows]
-        .add(_w_lane_of(w8, slot, f) * g_lane)
+        .add(_weighted_lanes(g_lane, w8, slot, f))
     )
     # d_w8[m, c] = sum_i g[m, i] * entry[m, c, i] — one masked product + a
     # (M,128)@(128,8) matmul (pose gradients through the trilerp weights)
@@ -451,6 +460,148 @@ def _row_gather_block_tw_bwd(f, res, g):
 
 
 _row_gather_block_tw.defvjp(_row_gather_block_tw_fwd, _row_gather_block_tw_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _row_gather_block_mm(table_l, rows, slot, w8, A, f):
+    """Block gather + trilerp + FIRST MLP LAYER in one op: (M, H).
+
+    ``A`` is the (128, H) first-layer weight pre-projected per level
+    (``A = P_level @ W1`` where P_level embeds this level's F features into
+    the MLP input window). Keeping the matmul inside means the per-level
+    (M, F) feature arrays — whose transposed {0,1} layouts forced XLA into
+    ~50 GB/s strided passes — never exist: activations stay {1,0}
+    sublane-major from the gather through the MLP. This is the TPU answer to
+    tcnn's NetworkWithInputEncoding (reference
+    field_components/mlp.py:252-269).
+
+    Backward: d_wv = g @ A^T (one matmul), d_table = one weight-masked row
+    scatter-add, d_w8 via the corner projection, dA = wv^T @ g (wv recomputed
+    elementwise from the saved gathered rows).
+    """
+    vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
+    wv = _weighted_lanes(vals.astype(jnp.float32), w8, slot, f).astype(jnp.bfloat16)
+    return jnp.dot(wv, A.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+
+def _row_gather_block_mm_fwd(table_l, rows, slot, w8, A, f):
+    vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
+    wv = _weighted_lanes(vals.astype(jnp.float32), w8, slot, f).astype(jnp.bfloat16)
+    out = jnp.dot(wv, A.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    proto = jax.lax.slice_in_dim(table_l, 0, 0, axis=1)  # (S, 0)
+    return out, (vals, rows, slot, w8, A, proto)
+
+
+def _row_gather_block_mm_bwd(f, res, g):
+    vals, rows, slot, w8, A, proto = res
+    s, tab_dtype = proto.shape[0], proto.dtype
+    blk_of_lane, _, _ = _lane_splits(f)
+    in_blk = blk_of_lane == slot[:, None]
+    g16 = g.astype(jnp.bfloat16)
+    d_wv = jnp.dot(
+        g16, A.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32
+    )  # (M, 128)
+    dtab = (
+        jnp.zeros((s, 128), jnp.float32)
+        .at[rows]
+        .add(_weighted_lanes(d_wv, w8, slot, f))
+    )
+    valsf = vals.astype(jnp.float32)
+    gv = jnp.where(in_blk, d_wv * valsf, 0.0)
+    dw8 = jnp.dot(
+        gv, _proj_corner(f).astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    wv = _weighted_lanes(valsf, w8, slot, f).astype(jnp.bfloat16)
+    dA = jnp.dot(wv.T, g16, preferred_element_type=jnp.float32).astype(A.dtype)
+    return dtab.astype(tab_dtype), None, None, dw8, dA
+
+
+_row_gather_block_mm.defvjp(_row_gather_block_mm_fwd, _row_gather_block_mm_bwd)
+
+
+def block_level_geometry(
+    positions: jnp.ndarray,
+    *,
+    num_levels: int,
+    min_res: int,
+    max_res: int,
+    hash_table_size: int,
+    features_per_level: int,
+):
+    """Per-level (rows, slot, w8) for the block-packed TRAIN layout.
+
+    positions: (n, 3) in [0,1]. Returns a list of ``num_levels`` tuples
+    ``(rows (n,), slot (n,), w8 (n, 8))`` using the stochastic odd-axis
+    rounding of the block layout (single source of truth shared by
+    ``hash_encode(block=True)`` and the fused hash+MLP path).
+    """
+    epr = 128 // features_per_level
+    assert hash_table_size % 8 == 0 and epr % 8 == 0
+    bpr = epr // 8
+    nblocks = hash_table_size // 8
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+    resolutions = compute_level_resolutions(num_levels, min_res, max_res)
+    prime_pairs = (
+        (0x85EBCA6B, 0x9E3779B1),
+        (0xC2B2AE35, 0x27D4EB2F),
+        (0x165667B1, 0xD3A2646C),
+    )
+    out = []
+    for l in range(num_levels):
+        res = int(resolutions[l])
+        side = res + 1
+        bs = (side + 1) // 2  # dense blocks per axis
+        dense_b = bs**3 * 8 <= hash_table_size
+        sx, sy, sz = x * res, y * res, z * res
+        ix0b = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, res - 1)
+        iy0b = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, res - 1)
+        iz0b = jnp.clip(jnp.floor(sz).astype(jnp.int32), 0, res - 1)
+        oxb = jnp.clip(sx - ix0b, 0.0, 1.0)
+        oyb = jnp.clip(sy - iy0b, 0.0, 1.0)
+        ozb = jnp.clip(sz - iz0b, 0.0, 1.0)
+        bcoords, pweights = [], []
+        for i0, o, (p1, p2) in zip((ix0b, iy0b, iz0b), (oxb, oyb, ozb), prime_pairs):
+            odd = (i0 & 1) == 1
+            up = _u01_hash(o, p1, p2) < o
+            # representative vertex: stochastic choice on odd axes (its
+            # block holds the chosen vertex); base vertex on even axes
+            rep = i0 + jnp.where(odd & up, 1, 0)
+            bcoords.append(rep >> 1)
+            upf = up.astype(jnp.float32)
+            # weight on corner parity 0 / parity 1 within the block:
+            # even axis -> exact lerp (i0 has parity 0); odd axis ->
+            # all weight on the chosen vertex's parity (up -> even=p0)
+            w_p0 = jnp.where(odd, upf, 1.0 - o)
+            w_p1 = jnp.where(odd, 1.0 - upf, o)
+            pweights.append((w_p0, w_p1))
+        bx, by, bz = bcoords
+        if dense_b:
+            blk = (bx * bs + by) * bs + bz
+        else:
+            blk = _hash_corner(bx, by, bz, nblocks)
+        (wx0, wx1), (wy0, wy1), (wz0, wz1) = pweights
+        w8 = jnp.stack(
+            [
+                (wx1 if (c >> 2) & 1 else wx0)
+                * (wy1 if (c >> 1) & 1 else wy0)
+                * (wz1 if c & 1 else wz0)
+                for c in range(8)
+            ],
+            axis=-1,
+        )  # (n, 8)
+        out.append((blk // bpr, blk % bpr, w8))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _proj_level_np(f, num_levels, level):
+    """(128, num_levels*f) one-hot embedding of this level's feature lanes
+    into its column window of the MLP input."""
+    lane = np.arange(128)
+    E = np.zeros((128, num_levels * f), np.float32)
+    for i in range(f):
+        E[lane % f == i, level * f + i] = 1.0
+    return E
 
 
 def _hash_corner(cx, cy, cz, hash_table_size):
@@ -505,6 +656,27 @@ def hash_encode(
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
 
     resolutions = compute_level_resolutions(num_levels, min_res, max_res)
+
+    if block and not block_exact:
+        # train path: one row gather per trilerp via the shared geometry
+        # (also used by the fused hash+MLP first-layer path in mlp.py)
+        geom = block_level_geometry(
+            pos,
+            num_levels=num_levels,
+            min_res=min_res,
+            max_res=max_res,
+            hash_table_size=hash_table_size,
+            features_per_level=features_per_level,
+        )
+        F = features_per_level
+        out = None
+        for l, (rows, slot, w8) in enumerate(geom):
+            feats = _row_gather_block_tw(table[l], rows, slot, w8, F)
+            part = jax.lax.pad(
+                feats, jnp.zeros((), feats.dtype), [(0, 0, 0), (l * F, (L - 1 - l) * F, 0)]
+            )
+            out = part if out is None else out + part
+        return out.reshape(batch_shape + (num_levels * F,))
 
     level_outputs = []
     for l in range(L):
@@ -569,45 +741,7 @@ def hash_encode(
                 level_outputs.append(acc)
                 continue
 
-            prime_pairs = ((0x85EBCA6B, 0x9E3779B1), (0xC2B2AE35, 0x27D4EB2F), (0x165667B1, 0xD3A2646C))
-            bcoords, pweights = [], []
-            for i0, o, (p1, p2) in zip(
-                (ix0b, iy0b, iz0b), (oxb, oyb, ozb), prime_pairs
-            ):
-                odd = (i0 & 1) == 1
-                up = _u01_hash(o, p1, p2) < o
-                # representative vertex: stochastic choice on odd axes (its
-                # block holds the chosen vertex); base vertex on even axes
-                rep = i0 + jnp.where(odd & up, 1, 0)
-                bcoords.append(rep >> 1)
-                upf = up.astype(jnp.float32)
-                # weight on corner parity 0 / parity 1 within the block:
-                # even axis -> exact lerp (i0 has parity 0); odd axis ->
-                # all weight on the chosen vertex's parity (up -> even=p0)
-                w_p0 = jnp.where(odd, upf, 1.0 - o)
-                w_p1 = jnp.where(odd, 1.0 - upf, o)
-                pweights.append((w_p0, w_p1))
-            bx, by, bz = bcoords
-            if dense_b:
-                blk = (bx * bs + by) * bs + bz
-            else:
-                blk = _hash_corner(bx, by, bz, nblocks)
-            (wx0, wx1), (wy0, wy1), (wz0, wz1) = pweights
-            w8 = jnp.stack(
-                [
-                    (wx1 if (c >> 2) & 1 else wx0)
-                    * (wy1 if (c >> 1) & 1 else wy0)
-                    * (wz1 if c & 1 else wz0)
-                    for c in range(8)
-                ],
-                axis=-1,
-            )  # (n, 8)
-            level_outputs.append(
-                _row_gather_block_tw(
-                    table[l], blk // bpr, blk % bpr, w8, features_per_level
-                )
-            )  # (n, F)
-            continue
+            raise AssertionError("block train path handled above")  # unreachable
 
         if stochastic_corner:
             # one-corner unbiased trilerp: round each axis up with
@@ -754,9 +888,18 @@ def hash_encode(
             acc = acc + weighted[corner * n : (corner + 1) * n]
         level_outputs.append(acc)  # (n, F)
 
-    out = jnp.stack(level_outputs, axis=1)  # (n, L, F)
-    out = out.reshape(n, L * features_per_level)
-    return out.reshape(batch_shape + (num_levels * features_per_level,))
+    # Assemble (n, L*F) WITHOUT stacking to (n, L, F): the stack lowers to
+    # per-level dynamic-update-slices into a T(4,128)-tiled buffer (measured
+    # ~15 ms/step across field+props at 8192 rays). Zero-padding each level
+    # to its column window and summing fuses into one elementwise pass.
+    F = features_per_level
+    out = None
+    for l, feats in enumerate(level_outputs):
+        part = jax.lax.pad(
+            feats, jnp.zeros((), feats.dtype), [(0, 0, 0), (l * F, (L - 1 - l) * F, 0)]
+        )
+        out = part if out is None else out + part
+    return out.reshape(batch_shape + (num_levels * F,))
 
 
 def init_hash_table(
