@@ -39,6 +39,10 @@ class MethodConfig:
     optimizers: Dict[str, Dict[str, Any]] = dataclasses.field(default_factory=dict)
     data: Optional[Path] = None
     seed: int = 42
+    # dataset class the datamanager wraps the dataparser outputs in
+    # (reference: the DataManager's generic dataset type) — "depth" activates
+    # DepthDataset (on-disk depth files or the SfM sparse-depth fallback)
+    dataset: str = "input"  # input | depth | semantic | sdf
 
     def __post_init__(self):
         self.trainer.method_name = self.method_name
@@ -240,9 +244,11 @@ from nerfstudio_tpu.models.tensorf import TensoRFModelConfig  # noqa: E402
 
 method_configs["depth-nerfacto"] = MethodConfig(
     method_name="depth-nerfacto",
+    dataset="depth",
     trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500),
     datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
-    dataparser=NerfstudioDataParserConfig(),
+    # 3D points on: fuels the SfM sparse-depth fallback when no depth files
+    dataparser=NerfstudioDataParserConfig(load_3D_points=True),
     model=DepthNerfactoModelConfig(eval_num_rays_per_chunk=1 << 15),
     optimizers=_nerfacto_optimizers(),
 )
@@ -339,6 +345,7 @@ from nerfstudio_tpu.models.semantic_nerfw import SemanticNerfWModelConfig  # noq
 
 method_configs["semantic-nerfw"] = MethodConfig(
     method_name="semantic-nerfw",
+    dataset="semantic",
     trainer=TrainerConfig(max_num_iterations=30000, steps_per_eval_image=500),
     datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
     dataparser=Sitcoms3DDataParserConfig(),

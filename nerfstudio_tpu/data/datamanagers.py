@@ -76,11 +76,44 @@ class DeviceCacheDataManager:
         self.eval_dataset = eval_dataset or train_dataset
         self._sharding = sharding
 
-        data = train_dataset.load_all()
-        self._all_images_host = data["images"]  # uint8 (N,H,W,C)
-        self._masks_host = data.get("masks")
+        try:
+            data = train_dataset.load_all()
+            self._buckets = None
+        except ValueError:
+            # mixed-resolution capture (phototourism/sitcoms3d shape): group
+            # into per-resolution HBM stacks — the TPU variable_res_collate
+            # (reference data/utils/dataloaders.py:46)
+            self._buckets = train_dataset.load_all_bucketed()
+            data = None
         self.num_train_images = len(train_dataset)
-        n, h, w, c = self._all_images_host.shape
+        if self._buckets is not None:
+            if config.pixel_sampler != "uniform":
+                raise NotImplementedError(
+                    f"pixel_sampler={config.pixel_sampler!r} unsupported with "
+                    "variable-resolution buckets (uniform only)"
+                )
+            if train_dataset._dataparser_outputs.mask_filenames is not None:
+                raise NotImplementedError(
+                    "per-pixel masks unsupported with variable-resolution buckets"
+                )
+            if config.max_images_in_memory is not None:
+                raise NotImplementedError(
+                    "max_images_in_memory unsupported with variable-resolution buckets"
+                )
+            self._all_images_host = None
+            self._masks_host = None
+            cmin = min(b["images"].shape[-1] for b in self._buckets)
+            h, w, c = self._buckets[0]["images"].shape[1:4]
+            c = cmin
+            # mixed RGB/RGBA buckets: truncate to the common channel count
+            # (alpha blending of 4-channel stacks happens at gather time only
+            # when EVERY bucket carries alpha)
+            for b in self._buckets:
+                b["images"] = b["images"][..., :cmin]
+        else:
+            self._all_images_host = data["images"]  # uint8 (N,H,W,C)
+            self._masks_host = data.get("masks")
+            n, h, w, c = self._all_images_host.shape
         self.image_height, self.image_width, self.num_channels = h, w, c
 
         self.train_cameras: Cameras = train_dataset.cameras
@@ -96,14 +129,30 @@ class DeviceCacheDataManager:
                 "mask-valid index table is built over the full image stack"
             )
 
-        # optional per-pixel depth supervision stack (depth-nerfacto)
+        # optional per-pixel depth supervision stack (depth-nerfacto); covers
+        # both on-disk depth files and the DepthDataset SfM-projection
+        # fallback (datasets.py provides_depth)
         self._all_depths_host = None
-        if getattr(train_dataset, "depth_filenames", None):
+        if getattr(train_dataset, "provides_depth", False) or getattr(
+            train_dataset, "depth_filenames", None
+        ):
+            if self._buckets is not None:
+                raise NotImplementedError(
+                    "depth supervision unsupported with variable-resolution buckets"
+                )
             self._all_depths_host = np.stack(
                 [train_dataset.get_metadata(i)["depth_image"] for i in range(len(train_dataset))]
             ).astype(np.float32)
 
-        self._load_subset(self._select_subset(np.random.default_rng(0)))
+        if self._buckets is not None:
+            self.train_images = tuple(self._put(b["images"]) for b in self._buckets)
+            self.bucket_cam_maps = tuple(
+                self._put(b["camera_indices"]) for b in self._buckets
+            )
+            self.train_depths = None
+            self.resident_map = None
+        else:
+            self._load_subset(self._select_subset(np.random.default_rng(0)))
 
         self.valid_indices = None
         if self._masks_host is not None:
@@ -146,6 +195,42 @@ class DeviceCacheDataManager:
 
     # -- jit-side pure functions ------------------------------------------
 
+    def _bucket_ray_alloc(self, num_rays: int) -> Tuple[int, ...]:
+        """Static per-bucket ray counts ∝ pixel share (each ≥ 1, sum exact).
+
+        Static (trace-time) allocation keeps the train step one fixed-shape
+        XLA program; the sampling *within* each bucket is uniform over its
+        pixels, so overall sampling is uniform-per-pixel across the whole
+        mixed-resolution split, matching the reference's list-collate
+        semantics (data/utils/dataloaders.py:46)."""
+        pix = np.array(
+            [b["images"].shape[0] * b["images"].shape[1] * b["images"].shape[2]
+             for b in self._buckets], np.float64,
+        )
+        alloc = np.maximum(1, np.floor(num_rays * pix / pix.sum()).astype(int))
+        # distribute the remainder to the largest buckets
+        while alloc.sum() < num_rays:
+            alloc[np.argmax(pix / alloc)] += 1
+        while alloc.sum() > num_rays:
+            i = int(np.argmax(alloc))
+            alloc[i] -= 1
+        return tuple(int(a) for a in alloc)
+
+    def _sample_train_batch_bucketed(
+        self, key: jax.Array, images, num_rays: int
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        alloc = self._bucket_ray_alloc(num_rays)
+        keys = jax.random.split(key, len(images))
+        idx_parts, rgb_parts = [], []
+        for img, cmap, k, r in zip(images, self.bucket_cam_maps, keys, alloc):
+            b, hgt, wid = img.shape[0], img.shape[1], img.shape[2]
+            idx_b = sample_pixel_indices(k, r, b, hgt, wid)
+            rgb_parts.append(gather_pixels(img, idx_b))
+            idx_parts.append(idx_b.at[:, 0].set(cmap[idx_b[:, 0]]))
+        idx = jnp.concatenate(idx_parts, axis=0)
+        batch = {"image": jnp.concatenate(rgb_parts, axis=0), "indices": idx}
+        return idx, batch
+
     def sample_train_batch(
         self,
         key: jax.Array,
@@ -160,6 +245,8 @@ class DeviceCacheDataManager:
         (donated/resident in HBM). The returned ray indices carry ORIGINAL
         camera indices (remapped through ``resident_map``)."""
         num_rays = num_rays or self.config.train_num_rays_per_batch
+        if isinstance(images, (tuple, list)):
+            return self._sample_train_batch_bucketed(key, images, num_rays)
         n = images.shape[0]
         sampler = self.config.pixel_sampler
         if self.valid_indices is not None:

@@ -105,6 +105,13 @@ class InputDataset:
             if mod is None:
                 return None
             h, w, c = mod.image_size(str(files[0]))
+            # header-only size check: the C++ decoder box-downscales any
+            # mismatched image into the target shape, which would silently
+            # train variable-res captures with the wrong intrinsics — mixed
+            # resolutions must route to load_all_bucketed() instead
+            for f in files[1:]:
+                if tuple(mod.image_size(str(f))) != (h, w, c):
+                    return None
             return decode_image_batch(files, h, w, c)
         except Exception:  # noqa: BLE001 — any native failure falls back
             return None
@@ -123,7 +130,8 @@ class InputDataset:
             shapes = {im.shape for im in images}
             if len(shapes) != 1:
                 raise ValueError(
-                    f"variable resolutions {shapes}: use the per-image (jagged) path"
+                    f"variable resolutions {shapes}: use load_all_bucketed() "
+                    "(the datamanager does this automatically)"
                 )
             stacked = np.stack(images, axis=0)
         out = {"images": stacked}
@@ -131,11 +139,50 @@ class InputDataset:
             out["masks"] = np.stack([self.get_mask(i) for i in range(len(self))], axis=0)
         return out
 
+    def load_all_bucketed(self) -> List[Dict[str, np.ndarray]]:
+        """Variable-resolution split as resolution buckets.
+
+        The TPU answer to the reference's ``variable_res_collate``
+        (reference data/utils/dataloaders.py:46): instead of Python lists of
+        jagged tensors (which XLA cannot trace), images are grouped by exact
+        (H, W, C) into dense uint8 stacks. Each bucket is one HBM-resident
+        array with a bucket->original-camera index map; per-step pixel
+        sampling draws a STATIC number of rays from every bucket
+        (proportional to its pixel share) so the train step stays one fixed-
+        shape XLA program.
+
+        Returns a list of ``{"images": (B,H,W,C) uint8,
+        "camera_indices": (B,) int32}``, largest bucket first.
+        """
+        images = [self.get_numpy_image(i) for i in range(len(self))]
+        buckets: Dict[tuple, List[int]] = {}
+        for i, im in enumerate(images):
+            buckets.setdefault(im.shape, []).append(i)
+        out = []
+        for shape, idxs in sorted(
+            buckets.items(), key=lambda kv: -len(kv[1]) * kv[0][0] * kv[0][1]
+        ):
+            out.append(
+                {
+                    "images": np.stack([images[i] for i in idxs], axis=0),
+                    "camera_indices": np.asarray(idxs, np.int32),
+                }
+            )
+        return out
+
 
 class DepthDataset(InputDataset):
     """Dataset with per-image depth maps (reference
-    data/datasets/depth_dataset.py, minus the DPT pseudo-depth generation —
-    mono-depth generation is a host-side preprocessing step here)."""
+    data/datasets/depth_dataset.py).
+
+    When the capture ships no depth files, the reference generates dense
+    pseudo-depth with a pretrained DPT transformer (reference
+    depth_dataset.py:56-118) — unavailable offline. Here the fallback is
+    *sparse SfM depth*: the dataparser's 3D seed points (COLMAP
+    ``points3D_xyz``, already in model space) are projected into every
+    training camera, giving exact-but-sparse termination depths. That is the
+    supervision DS-NeRF's sigma loss was designed for (the depth losses mask
+    ``depth > 0``, so unsupervised pixels contribute nothing)."""
 
     def __init__(self, dataparser_outputs: DataparserOutputs, scale_factor: float = 1.0):
         super().__init__(dataparser_outputs, scale_factor)
@@ -143,9 +190,58 @@ class DepthDataset(InputDataset):
         self.depth_unit_scale_factor = dataparser_outputs.metadata.get(
             "depth_unit_scale_factor", 1e-3
         )
+        self._sfm_points = None
+        if not self.depth_filenames:
+            pts = dataparser_outputs.metadata.get("points3D_xyz")
+            if pts is not None and len(pts):
+                self._sfm_points = np.asarray(pts, np.float32)
+                print(
+                    "[depth-dataset] no depth files: projecting "
+                    f"{len(self._sfm_points)} SfM points into each camera for "
+                    "sparse depth supervision (DPT pseudo-depth needs weights "
+                    "unavailable offline)"
+                )
+            else:
+                print(
+                    "[depth-dataset] WARNING: no depth files and no SfM points "
+                    "— depth supervision disabled (provide depth_file_path per "
+                    "frame or COLMAP points3D)"
+                )
+
+    @property
+    def provides_depth(self) -> bool:
+        return bool(self.depth_filenames) or self._sfm_points is not None
+
+    def _sfm_depth_map(self, image_idx: int) -> np.ndarray:
+        """(H, W, 1) z-depth map: SfM points splatted to their nearest pixel
+        (nearest-point wins on collisions); 0 where unsupervised."""
+        cams = self.cameras
+        c2w = np.asarray(cams.camera_to_worlds).reshape(-1, 3, 4)[image_idx]
+        fx = float(np.asarray(cams.fx).reshape(-1)[image_idx])
+        fy = float(np.asarray(cams.fy).reshape(-1)[image_idx])
+        cx = float(np.asarray(cams.cx).reshape(-1)[image_idx])
+        cy = float(np.asarray(cams.cy).reshape(-1)[image_idx])
+        h = int(np.asarray(cams.height).reshape(-1)[image_idx])
+        w = int(np.asarray(cams.width).reshape(-1)[image_idx])
+        R, t = c2w[:3, :3], c2w[:3, 3]
+        p_cam = (self._sfm_points - t) @ R  # world -> camera (OpenGL, -z fwd)
+        depth = -p_cam[:, 2]
+        ok = depth > 1e-6
+        a = p_cam[:, 0] / np.maximum(depth, 1e-6)
+        b = p_cam[:, 1] / np.maximum(depth, 1e-6)
+        col = np.round(a * fx + cx).astype(np.int64)
+        row = np.round(cy - b * fy).astype(np.int64)
+        ok &= (col >= 0) & (col < w) & (row >= 0) & (row < h)
+        dm = np.full((h * w,), np.inf, np.float32)
+        flat = row[ok] * w + col[ok]
+        np.minimum.at(dm, flat, depth[ok])
+        dm[~np.isfinite(dm)] = 0.0
+        return dm.reshape(h, w, 1)
 
     def get_metadata(self, image_idx: int) -> Dict:
         if not self.depth_filenames:
+            if self._sfm_points is not None:
+                return {"depth_image": self._sfm_depth_map(image_idx)}
             return {}
         from PIL import Image
 

@@ -324,7 +324,9 @@ class SplatfactoModel:
         (gsplat DefaultStrategy semantics; reference splatfacto.py:262-295)."""
         cfg = self.config
         n_cap = cfg.max_gaussians
-        m = cfg.max_refine_new
+        # new-slot budget can never exceed capacity (tiny-config safety:
+        # top_k(k) requires k <= array size)
+        m = min(cfg.max_refine_new, n_cap)
 
         avg_grad = aux.grad_accum / jnp.maximum(aux.grad_count, 1.0)
         scales = jnp.exp(params["scales"])
@@ -502,7 +504,9 @@ class SplatfactoModel:
         relocated rows' optimizer state)."""
         cfg = self.config
         n_cap = cfg.max_gaussians
-        m = cfg.max_refine_new
+        # new-slot budget can never exceed capacity (tiny-config safety:
+        # top_k(k) requires k <= array size)
+        m = min(cfg.max_refine_new, n_cap)
 
         opac = jax.nn.sigmoid(params["opacities"][:, 0])
         dead = aux.alive & (opac < cfg.mcmc_min_opacity)

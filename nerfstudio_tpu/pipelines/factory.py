@@ -38,7 +38,18 @@ def build_datasets(config: MethodConfig):
             break
         except FileNotFoundError:
             continue
-    return InputDataset(train_out), InputDataset(eval_out), train_out
+    # method-selected dataset class (reference: DataManager generic dataset
+    # type): "depth" feeds DepthDataset's per-pixel depth stack (on-disk files
+    # or the SfM sparse-depth fallback) into the datamanager
+    from nerfstudio_tpu.data.datasets import DepthDataset, SDFDataset, SemanticDataset
+
+    cls = {
+        "input": InputDataset,
+        "depth": DepthDataset,
+        "semantic": SemanticDataset,
+        "sdf": SDFDataset,
+    }[getattr(config, "dataset", "input")]
+    return cls(train_out), cls(eval_out), train_out
 
 
 def build_pipeline(

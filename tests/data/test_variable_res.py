@@ -1,0 +1,143 @@
+"""Variable-resolution (bucketed) data path: the TPU answer to the
+reference's ``variable_res_collate`` (reference data/utils/dataloaders.py:46).
+
+Mixed-res captures (phototourism / sitcoms3d shapes) group into dense
+per-resolution HBM stacks; the train step samples a static number of rays
+from every bucket so it stays one fixed-shape XLA program."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from fixtures import make_mixed_res_fixture  # noqa: E402
+
+from nerfstudio_tpu.data.datamanagers import DataManagerConfig, DeviceCacheDataManager
+from nerfstudio_tpu.data.dataparsers.nerfstudio_dataparser import (
+    NerfstudioDataParserConfig,
+)
+from nerfstudio_tpu.data.datasets import InputDataset
+
+
+@pytest.fixture(scope="module")
+def mixed_dir(tmp_path_factory):
+    return make_mixed_res_fixture(tmp_path_factory.mktemp("mixed"), n=6, hws=(32, 24, 32))
+
+
+@pytest.fixture(scope="module")
+def dataset(mixed_dir):
+    parser = NerfstudioDataParserConfig(
+        data=mixed_dir, train_split_fraction=1.0, downscale_factor=1
+    ).setup()
+    return InputDataset(parser.get_dataparser_outputs("train"))
+
+
+def test_load_all_raises_and_bucketed_groups(dataset):
+    with pytest.raises(ValueError, match="variable resolutions"):
+        dataset.load_all()
+    buckets = dataset.load_all_bucketed()
+    assert len(buckets) == 2
+    # largest bucket (by pixels) first: 4 images of 32x32 vs 2 of 24x24
+    assert buckets[0]["images"].shape == (4, 32, 32, 3)
+    assert buckets[1]["images"].shape == (2, 24, 24, 3)
+    # camera index maps partition the full split
+    all_idx = np.sort(
+        np.concatenate([b["camera_indices"] for b in buckets])
+    )
+    np.testing.assert_array_equal(all_idx, np.arange(6))
+    # bucket content matches per-image loads
+    for b in buckets:
+        for slot, cam in enumerate(b["camera_indices"]):
+            np.testing.assert_array_equal(
+                b["images"][slot], dataset.get_numpy_image(int(cam))
+            )
+
+
+@pytest.fixture(scope="module")
+def manager(dataset):
+    return DeviceCacheDataManager(DataManagerConfig(train_num_rays_per_batch=64), dataset)
+
+
+def test_bucket_ray_alloc(manager):
+    alloc = manager._bucket_ray_alloc(64)
+    assert sum(alloc) == 64
+    assert all(a >= 1 for a in alloc)
+    # proportional to pixel share: 4*32*32=4096 vs 2*24*24=1152 -> ~50:14
+    assert alloc[0] > alloc[1]
+    # tiny budgets still cover every bucket
+    assert sum(manager._bucket_ray_alloc(2)) == 2
+
+
+def test_bucketed_sample_train_batch(manager, dataset):
+    key = jax.random.PRNGKey(3)
+    idx, batch = manager.sample_train_batch(key, manager.train_images, num_rays=64)
+    assert idx.shape == (64, 3)
+    assert batch["image"].shape == (64, 3)
+    idx_np = np.asarray(idx)
+    # camera indices are ORIGINAL (global) indices
+    assert idx_np[:, 0].min() >= 0 and idx_np[:, 0].max() < 6
+    # every sampled pixel is inside ITS camera's image and the gathered RGB
+    # matches a direct host-side lookup
+    heights = np.asarray(manager.train_cameras.height).reshape(-1)
+    widths = np.asarray(manager.train_cameras.width).reshape(-1)
+    rgb = np.asarray(batch["image"])
+    for r in range(64):
+        cam, row, col = idx_np[r]
+        assert row < heights[cam] and col < widths[cam]
+        expect = dataset.get_numpy_image(int(cam))[row, col].astype(np.float32) / 255.0
+        np.testing.assert_allclose(rgb[r], expect, atol=1e-6)
+
+
+def test_bucketed_sampling_is_jittable(manager):
+    @jax.jit
+    def sample(key, images):
+        idx, batch = manager.sample_train_batch(key, images, num_rays=64)
+        return idx, batch["image"]
+
+    idx, rgb = sample(jax.random.PRNGKey(0), manager.train_images)
+    assert idx.shape == (64, 3) and rgb.shape == (64, 3)
+
+
+def test_mixed_res_smoke_train(mixed_dir, tmp_path):
+    """nerfacto trains end-to-end on a 2-resolution capture (VERDICT #4
+    done-criterion: a test training on a fixture with >=2 distinct
+    resolutions)."""
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.pipelines.factory import build_pipeline
+
+    config = get_method("nerfacto")
+    config.dataparser = NerfstudioDataParserConfig(
+        data=mixed_dir, train_split_fraction=1.0, downscale_factor=1
+    )
+    config.data = mixed_dir
+    config.trainer.output_dir = tmp_path / "outputs"
+    config.trainer.max_num_iterations = 2
+    config.datamanager.train_num_rays_per_batch = 32
+    for attr, val in [
+        ("log2_hashmap_size", 9),
+        ("max_res", 64),
+        ("hidden_dim", 8),
+        ("hidden_dim_color", 8),
+        ("num_nerf_samples_per_ray", 4),
+        ("num_proposal_samples_per_ray", (4, 4)),
+        ("eval_num_rays_per_chunk", 64),
+    ]:
+        if hasattr(config.model, attr):
+            setattr(config.model, attr, val)
+
+    pipeline, state, config = build_pipeline(config, use_mesh=False)
+    ModelCls = config.model._target
+    key = jax.random.PRNGKey(0)
+    for step in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = pipeline.train_step(
+            state,
+            pipeline.datamanager.train_images,
+            k,
+            **ModelCls.step_kwargs(step, config.model),
+        )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2

@@ -121,3 +121,39 @@ def make_nerfstudio_fixture(root: Path, n: int = 6, hw: int = 32) -> Path:
     with open(root / "transforms.json", "w") as f:
         json.dump(meta, f)
     return root
+
+
+def make_mixed_res_fixture(root: Path, n: int = 6, hws=(32, 24, 32)) -> Path:
+    """nerfstudio-format capture with PER-FRAME resolutions (phototourism's
+    real shape): frame i gets hws[i % len(hws)] square images with matching
+    per-frame intrinsics. Exercises the bucketed variable-res data path."""
+    from PIL import Image
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    frames = []
+    for i in range(n):
+        hw = int(hws[i % len(hws)])
+        focal = 1.25 * hw
+        theta = 2 * np.pi * i / n
+        pos = np.array([3.0 * np.cos(theta), 3.0 * np.sin(theta), 1.5])
+        c2w = look_at_origin(pos)
+        img = render_sphere_image(c2w, hw, hw, focal)
+        name = f"images/frame_{i:05d}.png"
+        Image.fromarray(img[..., :3]).save(root / name)
+        frames.append(
+            {
+                "file_path": name,
+                "transform_matrix": c2w.tolist(),
+                "fl_x": focal,
+                "fl_y": focal,
+                "cx": hw / 2,
+                "cy": hw / 2,
+                "w": hw,
+                "h": hw,
+            }
+        )
+    meta = {"camera_model": "OPENCV", "frames": frames}
+    with open(root / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    return root

@@ -6,7 +6,17 @@ with hard shadows) rendered with a tiny numpy ray tracer. Multi-view
 consistent real geometry — meaningful for convergence gates (PSNR/SSIM on
 held-out views), unlike random-pixel fixtures.
 
-Usage: python tools/make_synthetic_dataset.py OUT_DIR [--hw 256] [--n-train 80] [--n-test 10]
+Scene variants (--scene) for the convergence gate matrix (VERDICT r1 #1):
+  basic     — checkerboard disc + 4 spheres, white bg (the round-1 scene)
+  unbounded — same center objects + a ring of distant boulders + a 25-unit
+              ground + direction-dependent sky: content far outside the unit
+              box, exercising SceneContraction (no round-1 quality run did)
+  distorted — basic geometry rendered through OpenCV radial distortion
+              (k1=-0.18, k2=0.04): exercises the undistortion/ray-gen path
+  masked    — basic + a per-view transient floating sphere with a per-frame
+              mask excluding it: exercises mask-based pixel sampling
+
+Usage: python tools/make_synthetic_dataset.py OUT_DIR [--hw 256] [--scene basic]
 """
 
 from __future__ import annotations
@@ -19,16 +29,37 @@ from pathlib import Path
 
 import numpy as np
 
-SPHERES = [
+BASIC_SPHERES = [
     # center, radius, base color, checker second color (None = solid)
     (np.array([0.0, 0.0, 0.35]), 0.35, np.array([0.85, 0.25, 0.2]), None),
     (np.array([0.55, 0.35, 0.18]), 0.18, np.array([0.2, 0.45, 0.85]), np.array([0.9, 0.9, 0.2])),
     (np.array([-0.5, 0.3, 0.22]), 0.22, np.array([0.2, 0.8, 0.35]), None),
     (np.array([0.1, -0.55, 0.15]), 0.15, np.array([0.9, 0.7, 0.15]), np.array([0.4, 0.1, 0.5])),
 ]
+SPHERES = list(BASIC_SPHERES)
 LIGHT = np.array([1.5, -1.0, 2.5])
 GROUND_Z = 0.0
 PLANE_R = 1.1  # ground disc radius
+SKY = False  # direction-dependent sky instead of white bg (unbounded scene)
+DISTORTION = None  # (k1, k2) OpenCV radial distortion of the rendered images
+
+
+def set_scene(name: str) -> None:
+    global SPHERES, PLANE_R, SKY, DISTORTION
+    SPHERES = list(BASIC_SPHERES)
+    PLANE_R, SKY, DISTORTION = 1.1, False, None
+    if name == "unbounded":
+        # ring of distant boulders (checker so distant texture is learnable)
+        for k in range(8):
+            th = 2 * np.pi * k / 8 + 0.3
+            c = np.array([8.0 * np.cos(th), 8.0 * np.sin(th), 1.0])
+            col = np.array([0.55 + 0.3 * np.cos(th), 0.45, 0.55 + 0.3 * np.sin(th)])
+            SPHERES.append((c, 1.4, np.clip(col, 0.1, 0.9), np.array([0.9, 0.85, 0.75])))
+        PLANE_R, SKY = 25.0, True
+    elif name == "distorted":
+        DISTORTION = (-0.18, 0.04)
+    elif name not in ("basic", "masked"):
+        raise SystemExit(f"unknown scene {name!r}")
 
 
 def write_png(path: Path, img_u8: np.ndarray) -> None:
@@ -90,16 +121,30 @@ def _shadowed(p):
     return sh
 
 
-def render(c2w: np.ndarray, hw: int, focal: float) -> np.ndarray:
+def _undistort_coords(x, y, k1, k2, iters=12):
+    """Invert OpenCV radial distortion: find (xu, yu) with
+    xd = xu * (1 + k1 r^2 + k2 r^4) (Newton fixed point, reference
+    camera_utils.radial_and_tangential_undistort)."""
+    xu, yu = x.copy(), y.copy()
+    for _ in range(iters):
+        r2 = xu * xu + yu * yu
+        f = 1.0 + r2 * (k1 + k2 * r2)
+        xu, yu = x / f, y / f
+    return xu, yu
+
+
+def render(c2w: np.ndarray, hw: int, focal: float, transient=None):
+    """Ray-trace one view. ``transient`` = (center, radius, color) renders an
+    extra non-scene sphere and returns its pixel mask (masked scene).
+    Returns (img_u8 RGBA, occluder_mask bool | None)."""
     ys, xs = np.mgrid[0:hw, 0:hw]
-    dirs_cam = np.stack(
-        [
-            (xs + 0.5 - hw / 2) / focal,
-            -(ys + 0.5 - hw / 2) / focal,
-            -np.ones_like(xs, float),
-        ],
-        axis=-1,
-    )
+    px = (xs + 0.5 - hw / 2) / focal
+    py = (ys + 0.5 - hw / 2) / focal
+    if DISTORTION is not None:
+        # the written pixel grid IS the distorted image: trace the rays a
+        # distorted camera would have captured at each pixel
+        px, py = _undistort_coords(px, py, *DISTORTION)
+    dirs_cam = np.stack([px, -py, -np.ones_like(px, float)], axis=-1)
     d = dirs_cam @ c2w[:3, :3].T
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     o = np.broadcast_to(c2w[:3, 3], d.shape)
@@ -154,9 +199,28 @@ def render(c2w: np.ndarray, hw: int, focal: float) -> np.ndarray:
     shadow = _shadowed(p)
     shade = 0.25 + 0.75 * lam * (~shadow)
     rgb = np.clip(color * shade[..., None], 0, 1)
-    rgb = np.where(hit[..., None], rgb, 1.0)  # white background
-    alpha = hit.astype(float)
-    return (np.concatenate([rgb, alpha[..., None]], axis=-1) * 255).astype(np.uint8)
+    if SKY:
+        # direction-dependent sky (consistent at infinity -> contraction-able)
+        z = np.clip(d[..., 2], 0.0, 1.0)[..., None]
+        sky = (1 - z) * np.array([0.9, 0.75, 0.6]) + z * np.array([0.35, 0.55, 0.95])
+        rgb = np.where(hit[..., None], rgb, sky)
+        alpha = np.ones(hit.shape)
+    else:
+        rgb = np.where(hit[..., None], rgb, 1.0)  # white background
+        alpha = hit.astype(float)
+
+    occ_mask = None
+    if transient is not None:
+        tc, tr, tcol = transient
+        t_occ = _sphere_hit(o, d, tc, tr)
+        occ = t_occ < t_best
+        n_occ = (o + d * np.where(np.isfinite(t_occ), t_occ, 0.0)[..., None] - tc) / tr
+        lam_o = np.clip(np.sum(n_occ * ldir, axis=-1), 0, 1)
+        rgb = np.where(occ[..., None], np.clip(tcol * (0.3 + 0.7 * lam_o)[..., None], 0, 1), rgb)
+        alpha = np.where(occ, 1.0, alpha)
+        occ_mask = occ
+    img = (np.concatenate([rgb, alpha[..., None]], axis=-1) * 255).astype(np.uint8)
+    return img, occ_mask
 
 
 def _surface_color(p, n):
@@ -215,10 +279,14 @@ def main() -> None:
     ap.add_argument("--radius", type=float, default=2.6)
     ap.add_argument("--n-points", type=int, default=30000,
                     help="surface seed points written to points3D.ply")
+    ap.add_argument("--scene", default="basic",
+                    choices=("basic", "unbounded", "distorted", "masked"))
     args = ap.parse_args()
+    set_scene(args.scene)
 
     focal = args.hw * 1.1
     rng = np.random.default_rng(7)
+    mask_paths: dict = {}
 
     for split, n, seed_off in [("train", args.n_train, 0), ("val", args.n_test, 1), ("test", args.n_test, 2)]:
         frames = []
@@ -234,10 +302,26 @@ def main() -> None:
                 [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)]
             )
             c2w = look_at(pos)
-            img = render(c2w, args.hw, focal)
+            transient = None
+            if args.scene == "masked" and split == "train":
+                # per-view floating sphere: NOT multi-view consistent, must
+                # be excluded by the mask or it poisons training
+                tc = np.array([rng.uniform(-0.6, 0.6), rng.uniform(-0.6, 0.6),
+                               rng.uniform(0.7, 1.2)])
+                transient = (tc, 0.16, np.array([0.95, 0.4, 0.75]))
+            img, occ = render(c2w, args.hw, focal, transient=transient)
             name = f"./{split}/r_{i}"
             write_png(args.out / split / f"r_{i}.png", img)
             frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+            if args.scene == "masked":
+                # mask: 255 = supervise, 0 = transient pixel (reference
+                # pixel_samplers mask rejection semantics)
+                valid = np.full((args.hw, args.hw), 255, np.uint8)
+                if occ is not None:
+                    valid[occ] = 0
+                mpath = args.out / split / f"m_{i}.png"
+                write_png(mpath, np.repeat(valid[..., None], 3, axis=-1))
+                mask_paths[f"{split}/r_{i}.png"] = f"{split}/m_{i}.png"
         meta = {"camera_angle_x": 2 * np.arctan(args.hw / (2 * focal)), "frames": frames}
         with open(args.out / f"transforms_{split}.json", "w") as f:
             json.dump(meta, f)
@@ -265,18 +349,34 @@ def main() -> None:
         with open(args.out / f"transforms_{split}.json") as f:
             m = json.load(f)
         for fr in m["frames"]:
-            ns_frames.append(
-                {"file_path": fr["file_path"].lstrip("./") + ".png",
-                 "transform_matrix": fr["transform_matrix"]}
-            )
+            rel = fr["file_path"].lstrip("./") + ".png"
+            entry = {"file_path": rel, "transform_matrix": fr["transform_matrix"]}
+            if rel in mask_paths:
+                entry["mask_path"] = mask_paths[rel]
+            ns_frames.append(entry)
+    if args.scene == "masked":
+        # the parser requires masks for every frame or none: eval frames get
+        # an all-valid mask
+        for entry in ns_frames:
+            if "mask_path" not in entry:
+                split, stem = entry["file_path"].split("/")
+                mpath = args.out / split / f"m_{stem.removesuffix('.png').split('_')[-1]}.png"
+                write_png(mpath, np.full((args.hw, args.hw, 3), 255, np.uint8))
+                entry["mask_path"] = str(mpath.relative_to(args.out))
     ns_meta = {
         "fl_x": focal, "fl_y": focal, "cx": args.hw / 2, "cy": args.hw / 2,
         "w": args.hw, "h": args.hw, "camera_model": "OPENCV",
         "frames": ns_frames, "ply_file_path": "points3D.ply",
     }
+    if DISTORTION is not None:
+        # the blender-format jsons carry no distortion model — only the
+        # nerfstudio-format transforms.json is valid for the distorted scene
+        ns_meta.update({"k1": DISTORTION[0], "k2": DISTORTION[1], "p1": 0.0, "p2": 0.0})
+        for split in ("train", "val", "test"):
+            (args.out / f"transforms_{split}.json").unlink()
     with open(args.out / "transforms.json", "w") as f:
         json.dump(ns_meta, f)
-    print(f"wrote {args.out} ({args.n_train} train / {args.n_test} val+test @ {args.hw}px, {len(pts)} seed points)")
+    print(f"wrote {args.out} scene={args.scene} ({args.n_train} train / {args.n_test} val+test @ {args.hw}px, {len(pts)} seed points)")
 
 
 if __name__ == "__main__":
