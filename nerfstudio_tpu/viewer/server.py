@@ -125,6 +125,9 @@ class Viewer:
             self._clients.add(ws)
             if self.custom_elements:
                 await ws.send(json.dumps(self._custom_panel_payload()))
+            scene = self._scene_payload()
+            if scene is not None:
+                await ws.send(json.dumps(scene))
             try:
                 async for raw in ws:
                     msg = json.loads(raw)
@@ -228,6 +231,42 @@ class Viewer:
                 for name, el in self.custom_elements.items()
             ],
         }
+
+    def _scene_payload(self, max_points: int = 2000) -> Optional[dict]:
+        """Static 3D scene for the client overlay: training-camera c2w's plus
+        a point subsample (splat means or the capture's SfM seed points). The
+        client draws these itself at input rate — the reference does this via
+        viser's client-side three.js scene (reference viewer/viewer.py:432
+        scene init w/ frustums); here it is a 2D-canvas wireframe overlay."""
+        try:
+            cams = getattr(self.pipeline.datamanager, "train_cameras", None)
+            if cams is None:
+                return None
+            c2ws = np.asarray(cams.camera_to_worlds, np.float32).reshape(-1, 3, 4)
+            payload = {
+                "type": "scene",
+                "cameras": np.round(c2ws, 4).reshape(len(c2ws), 12).tolist(),
+            }
+            pts = None
+            state = self.state_getter() if self.state_getter is not None else None
+            params = getattr(state, "params", None)
+            if isinstance(params, dict) and "means" in params:
+                alive = np.asarray(state.aux.alive) if getattr(state, "aux", None) is not None else None
+                pts = np.asarray(params["means"], np.float32)
+                if alive is not None:
+                    pts = pts[alive[: len(pts)]]
+            else:
+                ds = getattr(self.pipeline.datamanager, "train_dataset", None)
+                md = getattr(ds, "metadata", None) or {}
+                if md.get("points3D_xyz") is not None:
+                    pts = np.asarray(md["points3D_xyz"], np.float32)
+            if pts is not None and len(pts):
+                if len(pts) > max_points:
+                    pts = pts[:: len(pts) // max_points + 1]
+                payload["points"] = np.round(pts, 4).tolist()
+            return payload
+        except Exception:  # noqa: BLE001 — overlay is best-effort decoration
+            return None
 
     def push_custom_panel(self) -> None:
         """Re-broadcast widget specs after a host-side state change

@@ -244,3 +244,17 @@ def test_custom_widget_panel_end_to_end(tmp_path):
     assert fired == [pytest.approx(0.7)]
     assert v.pipeline.model.noise.value == pytest.approx(0.7)
     assert len(clicks) == 1 and clicks[0].direction[2] < 0
+
+
+def test_scene_payload_sent_on_connect(viewer):
+    """Client-side 3D overlay contract: on connect the server pushes a
+    'scene' message with the training cameras' c2w rows and a point
+    subsample (splat means here), which client.html draws as wireframe
+    frustums locally (reference viewer.py:432 scene init w/ frustums)."""
+    _, others = _drive(viewer, [_cam_msg()], want_frames=1)
+    scenes = [m for m in others if m.get("type") == "scene"]
+    assert scenes, f"no scene message in {[m.get('type') for m in others]}"
+    sc = scenes[0]
+    assert len(sc["cameras"]) == 4 and len(sc["cameras"][0]) == 12
+    # the fake state carries 16 alive splat means
+    assert len(sc.get("points", [])) == 16
