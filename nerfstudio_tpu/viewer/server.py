@@ -212,6 +212,16 @@ class Viewer:
                                 vc.on_click(float(msg.get("u", 0.5)), float(msg.get("v", 0.5)))
                             except Exception as e:  # noqa: BLE001
                                 print(f"[viewer] click cb: {e}")
+                    elif mtype == "rect":
+                        # alt-drag rectangle select (reference ViewerRectSelect)
+                        for vc in self.viewer_controls:
+                            try:
+                                vc.on_rect(
+                                    float(msg.get("u0", 0.0)), float(msg.get("v0", 0.0)),
+                                    float(msg.get("u1", 1.0)), float(msg.get("v1", 1.0)),
+                                )
+                            except Exception as e:  # noqa: BLE001
+                                print(f"[viewer] rect cb: {e}")
             finally:
                 self._clients.discard(ws)
 

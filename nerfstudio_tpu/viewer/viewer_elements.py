@@ -237,6 +237,18 @@ class ViewerClick:
         self.screen_pos = tuple(float(x) for x in screen_pos)  # (x, y) in [0,1]
 
 
+class ViewerRectSelect:
+    """A rectangle selection in the rendered view (reference
+    viewer_elements.py:69-80 ViewerRectSelect min/max bounds), with the
+    world rays through both corners."""
+
+    def __init__(self, min_pos, max_pos, ray_min=None, ray_max=None):
+        self.min_pos = tuple(float(x) for x in min_pos)  # (u, v) in [0,1]
+        self.max_pos = tuple(float(x) for x in max_pos)
+        self.ray_min = ray_min  # (origin, direction) or None
+        self.ray_max = ray_max
+
+
 class ViewerControl:
     """Programmatic camera/scene control for custom methods
     (reference viewer_elements.py:563-708: set_pose, set_fov, set_crop,
@@ -245,6 +257,7 @@ class ViewerControl:
     def __init__(self):
         self._viewer = None
         self._click_cbs: List[Callable[[ViewerClick], None]] = []
+        self._rect_cbs: List[Callable[[ViewerRectSelect], None]] = []
         self._lock = threading.Lock()
 
     def install(self, viewer) -> None:
@@ -300,6 +313,39 @@ class ViewerControl:
         with self._lock:
             if cb in self._click_cbs:
                 self._click_cbs.remove(cb)
+
+    # -- rectangle select -------------------------------------------------------
+    def register_rect_cb(self, cb: "Callable[[ViewerRectSelect], None]") -> None:
+        """(reference viewer_elements.py ViewerRectSelect + register_pointer_cb)"""
+        with self._lock:
+            self._rect_cbs.append(cb)
+
+    def unregister_rect_cb(self, cb) -> None:
+        with self._lock:
+            if cb in self._rect_cbs:
+                self._rect_cbs.remove(cb)
+
+    def on_rect(self, u0: float, v0: float, u1: float, v1: float):
+        """Client rectangle select (alt-drag): corners in normalized screen
+        coords, lifted to world rays at the two corners."""
+        if self._viewer is None or self._viewer.camera_pose is None:
+            return None
+        a = self.on_ray(u0, v0)
+        b = self.on_ray(u1, v1)
+        rect = ViewerRectSelect((u0, v0), (u1, v1), a, b)
+        with self._lock:
+            cbs = list(self._rect_cbs)
+        for cb in cbs:
+            cb(rect)
+        return rect
+
+    def on_ray(self, u: float, v: float):
+        """(origin, direction) world ray through normalized (u, v)."""
+        c2w = np.asarray(self._viewer.camera_pose, np.float32)
+        half = np.tan(np.deg2rad(self._viewer.camera_fov) / 2.0)
+        d_cam = np.array([(2 * u - 1) * half, (1 - 2 * v) * half, -1.0], np.float32)
+        d_world = c2w[:3, :3] @ d_cam
+        return c2w[:3, 3], d_world / np.linalg.norm(d_world)
 
     def on_click(self, u: float, v: float) -> Optional[ViewerClick]:
         """Client click at normalized (u,v) -> world ray -> callbacks."""

@@ -118,3 +118,28 @@ def test_viewer_control_get_camera():
     np.testing.assert_allclose(
         np.asarray(cam.fx).reshape(-1)[0], 100 / (2 * np.tan(np.deg2rad(30))), rtol=1e-5
     )
+
+
+def test_viewer_control_rect_select():
+    """ViewerRectSelect: alt-drag corners lift to world rays and fire
+    registered callbacks (reference viewer_elements.py:69-80)."""
+    import numpy as np
+
+    from nerfstudio_tpu.viewer.viewer_elements import ViewerControl
+
+    class _V:
+        camera_pose = np.eye(3, 4, dtype=np.float32)
+        camera_fov = 90.0
+
+    vc = ViewerControl()
+    vc.install(_V())
+    got = []
+    vc.register_rect_cb(got.append)
+    rect = vc.on_rect(0.25, 0.25, 0.75, 0.75)
+    assert got and got[0] is rect
+    assert rect.min_pos == (0.25, 0.25) and rect.max_pos == (0.75, 0.75)
+    o, d = rect.ray_min
+    assert np.allclose(o, 0)  # camera at origin
+    assert d[2] < 0  # looking down -z
+    # corners on opposite sides of the axis
+    assert rect.ray_min[1][0] < 0 < rect.ray_max[1][0]
