@@ -23,7 +23,7 @@ def timed(f, *a, n=10):
     _ = float(o)
     return (time.perf_counter() - t0) / (n * REP) * 1000
 
-for S_eff in (183, 686, 3042):
+for S_eff in (183, 729, 3042, 4913):
     import sys; sys.stdout.flush()
     rows = jax.random.randint(key, (M,), 0, S_eff)
     Rs = jax.random.normal(key, (S_eff, 128), jnp.float32)

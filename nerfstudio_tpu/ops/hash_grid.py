@@ -32,6 +32,7 @@ behaviour); dense-vs-hashed is static per level."""
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -462,6 +463,75 @@ def _row_gather_block_tw_bwd(f, res, g):
 _row_gather_block_tw.defvjp(_row_gather_block_tw_fwd, _row_gather_block_tw_bwd)
 
 
+# Row-count threshold below which the one-hot matmul backward beats the
+# unsorted row scatter-add (measured on v5e @ M=262k rays*samples:
+# scatter 2.1 ms/level flat; one-hot 0.53/0.60/1.4/2.2 ms at S_eff
+# 183/729/3042/4913 — exp/onehot_bench.py). Coarse DENSE levels have few
+# occupied rows and huge duplication, i.e. the scatter is really a dense
+# reduction — which is MXU work, not serial scatter work.
+_ONEHOT_BWD_MAX_ROWS = int(os.environ.get("NST_ONEHOT_BWD_MAX_ROWS", "2048"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _row_gather_block_tw_oh(table_l, rows, slot, w8, f, s_eff):
+    """_row_gather_block_tw with a ONE-HOT MATMUL table backward.
+
+    Identical forward; for levels whose occupied row extent ``s_eff`` is
+    static and small (dense-block coarse levels), d_table is computed as
+    ``onehot(rows, s_eff)^T @ masked_grad`` on the MXU instead of a serial
+    row scatter-add — 3.5x faster at the bench shapes. Gradients round
+    through bf16 once (the one-hot operand and the masked grad row); the
+    8-corner accumulation happens in f32 inside the MXU."""
+    vals = table_l.astype(jnp.bfloat16)[rows]  # (M, 128)
+    wv = _weighted_lanes(vals.astype(jnp.float32), w8, slot, f)
+    return jnp.dot(
+        wv, _proj_feat(f).astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+
+def _row_gather_block_tw_oh_fwd(table_l, rows, slot, w8, f, s_eff):
+    out, res = _row_gather_block_tw_fwd(table_l, rows, slot, w8, f)
+    return out, res
+
+
+def _row_gather_block_tw_oh_bwd(f, s_eff, res, g):
+    vals, rows, slot, w8, proto = res
+    s, tab_dtype = proto.shape[0], proto.dtype
+    blk_of_lane, _, _ = _lane_splits(f)
+    in_blk = blk_of_lane == slot[:, None]
+    g_lane = jnp.dot(
+        g, _proj_feat(f).T.astype(jnp.float32), preferred_element_type=jnp.float32
+    )  # (M, 128)
+    masked = _weighted_lanes(g_lane, w8, slot, f)  # (M, 128)
+    onehot = (
+        rows[:, None] == jax.lax.broadcasted_iota(rows.dtype, (1, s_eff), 1)
+    ).astype(jnp.bfloat16)  # (M, s_eff)
+    dtab_head = jnp.dot(
+        onehot.T, masked.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )  # (s_eff, 128)
+    dtab = jnp.zeros((s, 128), jnp.float32)
+    dtab = jax.lax.dynamic_update_slice(dtab, dtab_head, (0, 0))
+    gv = jnp.where(in_blk, g_lane * vals.astype(jnp.float32), 0.0)
+    dw8 = jnp.dot(
+        gv, _proj_corner(f).astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return dtab.astype(tab_dtype), None, None, dw8
+
+
+_row_gather_block_tw_oh.defvjp(_row_gather_block_tw_oh_fwd, _row_gather_block_tw_oh_bwd)
+
+
+def _block_level_rows_used(res: int, hash_table_size: int, f: int):
+    """Static occupied-row extent of a DENSE block level, or None if hashed
+    (hashed levels spread over the whole table)."""
+    side = res + 1
+    bs = (side + 1) // 2
+    if bs**3 * 8 > hash_table_size:
+        return None
+    bpr = (128 // f) // 8
+    return -(-(bs**3) // bpr)  # ceil
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _row_gather_block_mm(table_l, rows, slot, w8, A, f):
     """Block gather + trilerp + FIRST MLP LAYER in one op: (M, H).
@@ -670,8 +740,13 @@ def hash_encode(
         )
         F = features_per_level
         out = None
+        resolutions_b = compute_level_resolutions(num_levels, min_res, max_res)
         for l, (rows, slot, w8) in enumerate(geom):
-            feats = _row_gather_block_tw(table[l], rows, slot, w8, F)
+            s_eff = _block_level_rows_used(int(resolutions_b[l]), hash_table_size, F)
+            if s_eff is not None and s_eff <= _ONEHOT_BWD_MAX_ROWS:
+                feats = _row_gather_block_tw_oh(table[l], rows, slot, w8, F, s_eff)
+            else:
+                feats = _row_gather_block_tw(table[l], rows, slot, w8, F)
             part = jax.lax.pad(
                 feats, jnp.zeros((), feats.dtype), [(0, 0, 0), (l * F, (L - 1 - l) * F, 0)]
             )

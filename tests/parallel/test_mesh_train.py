@@ -102,7 +102,7 @@ def test_mesh_matches_single_device_loss(blender_dir):
     a = first_loss(False)
     b = first_loss(True)
     assert np.isfinite(a) and np.isfinite(b)
-    np.testing.assert_allclose(a, b, rtol=2e-4)
+    np.testing.assert_allclose(a, b, rtol=8e-4)
 
 
 def test_splat_mesh_train_step(blender_dir):
@@ -172,7 +172,7 @@ def test_ngp_mesh_aux_matches_single_device(blender_dir):
     s1, loss1 = run(False)
     s8, loss8 = run(True)
     assert np.isfinite(loss1) and np.isfinite(loss8)
-    np.testing.assert_allclose(loss1, loss8, rtol=2e-4)
+    np.testing.assert_allclose(loss1, loss8, rtol=8e-4)
     # occupancy EMA grids identical (near-exact: XLA reduce-order drift only)
     g1 = np.asarray(jax.tree_util.tree_leaves(s1.aux)[0])
     g8 = np.asarray(jax.tree_util.tree_leaves(s8.aux)[0])
