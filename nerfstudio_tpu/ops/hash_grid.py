@@ -788,7 +788,16 @@ def hash_encode(
             ozb = jnp.clip(sz - iz0b, 0.0, 1.0)
 
             if block_exact:
-                idx_parts, w_parts = [], []
+                # Exact 8-corner trilerp through the block layout as EIGHT
+                # fused weighted-row gathers (one per corner): each call
+                # gathers (n, 128) rows, applies the corner's weight at its
+                # parity lane, and lane-reduces on the MXU — the gathered
+                # rows fuse into the dot, so no (8n, 128) intermediate ever
+                # exists. The previous concat-8n + select materialized
+                # gigabyte-scale intermediates at render chunks (512^2 eval
+                # measured 4.6k rays/s; this path is ~8x the train gather).
+                corner_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+                acc = None
                 for corner in range(8):
                     dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
                     vx, vy, vz = ix0b + dx, iy0b + dy, iz0b + dz
@@ -796,23 +805,20 @@ def hash_encode(
                         blk = ((vx >> 1) * bs + (vy >> 1)) * bs + (vz >> 1)
                     else:
                         blk = _hash_corner(vx >> 1, vy >> 1, vz >> 1, nblocks)
-                    idx_parts.append(
-                        blk * 8 + ((vx & 1) << 2 | (vy & 1) << 1 | (vz & 1))
-                    )
-                    w_parts.append(
+                    parity = (vx & 1) << 2 | (vy & 1) << 1 | (vz & 1)
+                    w_c = (
                         (oxb if dx else 1.0 - oxb)
                         * (oyb if dy else 1.0 - oyb)
                         * (ozb if dz else 1.0 - ozb)
                     )
-                idx8 = jnp.concatenate(idx_parts)
-                w8 = jnp.concatenate(w_parts)
-                feats = _row_gather_select(
-                    table[l], idx8 // epr, idx8 % epr, features_per_level
-                )  # (8n, F)
-                weighted = feats * w8[:, None]
-                acc = weighted[:n]
-                for corner in range(1, 8):
-                    acc = acc + weighted[corner * n : (corner + 1) * n]
+                    # corner weight placed at its parity slot of the block
+                    w8_c = jnp.where(
+                        parity[:, None] == corner_iota, w_c[:, None], 0.0
+                    )  # (n, 8)
+                    part = _row_gather_block_tw(
+                        table[l], blk // bpr, blk % bpr, w8_c, features_per_level
+                    )
+                    acc = part if acc is None else acc + part
                 level_outputs.append(acc)
                 continue
 

@@ -1,0 +1,202 @@
+"""Secondary benchmarks: instant-ngp train throughput, splatfacto step time,
+and nerfacto eval (render-path) throughput on the local accelerator.
+
+bench.py stays the driver's single-line flagship metric (nerfacto train
+rays/s); this tool writes the per-model entries VERDICT r1 asked for to
+``benchmarks/bench_models_r2.json`` (and prints them).
+
+Timings are host-readback-synced (the tunneled runtime's block_until_ready
+can return early)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def bench_instant_ngp(rays: int = 8192, steps: int = 50) -> dict:
+    import jax
+
+    from __graft_entry__ import _synthetic_setup
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.engine.optimizers import build_optimizers
+    from nerfstudio_tpu.models.instant_ngp import InstantNGPModel
+    from nerfstudio_tpu.pipelines.base_pipeline import VanillaPipeline
+
+    cfg, dm, _, _ = _synthetic_setup(hw=128, n_images=16, rays=rays, tiny=False)
+    ngp = get_method("instant-ngp-bounded")
+    aabb = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+    model_train = InstantNGPModel(config=ngp.model, scene_aabb=aabb, num_train_data=16, train=True)
+    model_eval = InstantNGPModel(config=ngp.model, scene_aabb=aabb, num_train_data=16, train=False)
+    pipeline = VanillaPipeline(dm, model_train, model_eval, tx=None, mesh=None)
+    key = jax.random.PRNGKey(0)
+    params = pipeline.init_params(key)
+    pipeline.tx = build_optimizers(ngp.optimizers, params)
+    pipeline.init_aux = lambda: InstantNGPModel.init_aux(model_train, ngp.model)
+    state = pipeline.init_state(key, params=params)
+    aux_hook = InstantNGPModel.make_aux_update_fn(model_train, ngp.model)
+    kwargs_fn = (
+        (lambda s: InstantNGPModel.step_kwargs(s, ngp.model))
+        if hasattr(InstantNGPModel, "step_kwargs")
+        else (lambda s: {})
+    )
+
+    def run(state, key, start, n):
+        m = None
+        for i in range(n):
+            step = start + i
+            key, k_aux, k = jax.random.split(key, 3)
+            if aux_hook is not None:
+                state = aux_hook(state, step, k_aux)
+            state, m = pipeline.train_step(state, dm.train_images, k, **kwargs_fn(step))
+        return state, key, m
+
+    state, key, m = run(state, key, 3000, 12)
+    _ = float(m["loss"])
+    t0 = time.perf_counter()
+    state, key, m = run(state, key, 3012, steps)
+    loss = float(m["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    return {
+        "metric": "instant_ngp_train_rays_per_sec",
+        "value": round(rays * steps / dt, 1),
+        "unit": "rays/s",
+    }
+
+
+def bench_nerfacto_eval(side: int = 512) -> dict:
+    """Eval/render path: rays/s for one full image render (VERDICT #3)."""
+    import jax
+
+    from __graft_entry__ import _synthetic_setup
+    from nerfstudio_tpu.pipelines.base_pipeline import VanillaPipeline
+
+    cfg, dm, model_train, model_eval = _synthetic_setup(hw=side, n_images=2, rays=8192, tiny=False)
+    pipeline = VanillaPipeline(dm, model_train, model_eval, tx=None, mesh=None)
+    key = jax.random.PRNGKey(0)
+    params = pipeline.init_params(key)
+    import optax
+
+    pipeline.tx = optax.adam(1e-3)
+    state = pipeline.init_state(key, params=params)
+    chunk = 1 << 16
+    out = pipeline.render_camera(state.params, dm.eval_cameras, 0, chunk_size=chunk, aux=state.aux)
+    _ = np.asarray(out["rgb"]).sum()  # warm + sync
+    t0 = time.perf_counter()
+    out = pipeline.render_camera(state.params, dm.eval_cameras, 0, chunk_size=chunk, aux=state.aux)
+    _ = np.asarray(out["rgb"]).sum()
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "nerfacto_eval_rays_per_sec",
+        "value": round(side * side / dt, 1),
+        "unit": "rays/s",
+        "image": f"{side}x{side}",
+        "seconds_per_frame": round(dt, 3),
+    }
+
+
+def bench_splatfacto(side: int = 512, n_gauss: int = 100_000, steps: int = 30) -> dict:
+    """Splat train step time at a representative scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.pipelines.splat_pipeline import SplatPipeline
+
+    config = get_method("splatfacto")
+    m = config.model
+    m.max_gaussians = n_gauss
+    m.num_random = n_gauss // 2
+    m.random_init = True
+    m.random_scale = 1.5
+    m.num_downscales = 0
+
+    rng = np.random.default_rng(0)
+    n_img = 8
+    c2ws, images = [], []
+    for i in range(n_img):
+        th = 2 * np.pi * i / n_img
+        pos = np.array([2.5 * np.cos(th), 2.5 * np.sin(th), 1.2])
+        fwd = pos / np.linalg.norm(pos)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        c2w = np.eye(4)[:3]
+        c2w[:, 0], c2w[:, 1], c2w[:, 2], c2w[:, 3] = right, np.cross(fwd, right), fwd, pos
+        c2ws.append(c2w)
+        images.append(rng.uniform(size=(side, side, 3)).astype(np.float32))
+
+    from nerfstudio_tpu.cameras.cameras import Cameras
+
+    cams = Cameras(
+        camera_to_worlds=np.stack(c2ws).astype(np.float32),
+        fx=1.2 * side, fy=1.2 * side, cx=side / 2, cy=side / 2,
+        width=side, height=side,
+    )
+
+    dm_config = config.datamanager
+
+    class _DM:
+        train_cameras = cams
+        eval_cameras = cams
+        config = dm_config
+
+        class train_dataset:
+            def __len__(self):
+                return n_img
+
+        train_dataset = train_dataset()
+
+        def __len__(self):
+            return n_img
+
+        def next_train(self, step):
+            return step % n_img, jnp.asarray(images[step % n_img])
+
+        def iter_eval_images(self):
+            return iter(())
+
+    from nerfstudio_tpu.models.splatfacto import SplatfactoModel
+
+    model = SplatfactoModel(m, scene_scale=1.5)
+    pipeline = SplatPipeline(_DM(), model, max_steps=30000, mesh=None)
+    state = pipeline.init_state(scene_scale=1.5, seed=0)
+    state = pipeline.train(state, 3, jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(state.params["means"])
+    _ = float(state.params["means"][0, 0])
+    t0 = time.perf_counter()
+    state = pipeline.train(state, 3 + steps, jax.random.PRNGKey(1))
+    _ = float(state.params["means"][0, 0])
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "splatfacto_step_ms",
+        "value": round(dt / steps * 1000, 2),
+        "unit": "ms/step",
+        "image": f"{side}x{side}",
+        "gaussians": n_gauss,
+    }
+
+
+def main() -> None:
+    results = []
+    for fn in (bench_instant_ngp, bench_nerfacto_eval, bench_splatfacto):
+        try:
+            r = fn()
+        except Exception as e:  # noqa: BLE001
+            r = {"metric": fn.__name__, "error": str(e)[:300]}
+        print(json.dumps(r))
+        results.append(r)
+    out = Path(__file__).parent.parent / "benchmarks" / "bench_models_r2.json"
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
