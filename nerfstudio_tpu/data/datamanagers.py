@@ -105,11 +105,17 @@ class DeviceCacheDataManager:
             cmin = min(b["images"].shape[-1] for b in self._buckets)
             h, w, c = self._buckets[0]["images"].shape[1:4]
             c = cmin
-            # mixed RGB/RGBA buckets: truncate to the common channel count
-            # (alpha blending of 4-channel stacks happens at gather time only
-            # when EVERY bucket carries alpha)
-            for b in self._buckets:
-                b["images"] = b["images"][..., :cmin]
+            if cmin == 3:
+                # mixed RGB/RGBA buckets: alpha-blend the RGBA stacks over the
+                # dataparser's alpha_color host-side BEFORE truncating, matching
+                # get_image_float32 semantics (alpha_color None => black)
+                ac = train_dataset._dataparser_outputs.alpha_color
+                bg = np.zeros(3, np.float32) if ac is None else np.asarray(ac, np.float32)
+                for b in self._buckets:
+                    if b["images"].shape[-1] == 4:
+                        im = b["images"].astype(np.float32) / 255.0
+                        rgb = im[..., :3] * im[..., 3:] + bg * (1.0 - im[..., 3:])
+                        b["images"] = np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
         else:
             self._all_images_host = data["images"]  # uint8 (N,H,W,C)
             self._masks_host = data.get("masks")
@@ -203,6 +209,11 @@ class DeviceCacheDataManager:
         pixels, so overall sampling is uniform-per-pixel across the whole
         mixed-resolution split, matching the reference's list-collate
         semantics (data/utils/dataloaders.py:46)."""
+        if num_rays < len(self._buckets):
+            raise ValueError(
+                f"num_rays={num_rays} < {len(self._buckets)} resolution buckets: "
+                "every bucket needs >= 1 ray per batch (raise the ray budget)"
+            )
         pix = np.array(
             [b["images"].shape[0] * b["images"].shape[1] * b["images"].shape[2]
              for b in self._buckets], np.float64,

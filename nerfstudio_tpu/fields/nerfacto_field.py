@@ -66,6 +66,10 @@ class NerfactoField(Field):
     # (stochastic odd-axis rounding); eval renders through the exact
     # 8-corner path over the same layout (ops/hash_grid.py block mode)
     hash_block: bool = False
+    # exact 8-corner trilerp at eval (noise-free renders). False = keep the
+    # train-path one-gather stochastic trilerp at eval too — the viewer
+    # "preview" mode (~8x less gather traffic, slight per-pixel noise).
+    exact_eval: bool = True
     train: bool = True
 
     def setup(self):
@@ -82,8 +86,8 @@ class NerfactoField(Field):
             implementation=self.implementation,
             bwd_corner_sample=self.bwd_corner_sample,
             z_pair=self.z_pair,
-            block=self.hash_block and self.train,
-            block_exact=self.hash_block and not self.train,
+            block=self.hash_block and (self.train or not self.exact_eval),
+            block_exact=self.hash_block and not self.train and self.exact_eval,
         )
         if self.use_appearance_embedding and self.appearance_embedding_dim > 0:
             self.embedding_appearance = Embedding(self.num_images, self.appearance_embedding_dim)

@@ -117,23 +117,25 @@ def render_camera(
         pad_rb = flat
     num_chunks = (n + n_pad) // chunk_size
 
-    # one program for the whole image: lax.map over chunk-reshaped rays —
-    # a python chunk loop costs a full host round trip PER CHUNK through the
-    # tunneled runtime (measured eval at 13.5k rays/s vs 44k train); the
-    # scanned program renders the image in one dispatch + one readback.
-    stacked = jax.tree_util.tree_map(
-        lambda x: x.reshape((num_chunks, chunk_size) + x.shape[1:])
-        if x is not None
-        else None,
-        pad_rb,
-    )
-    out = jax.lax.map(apply_fn, stacked)
-    out = jax.device_get(out)
+    # ASYNC python loop over chunks: dispatch every chunk without waiting
+    # (jax queues them), then ONE device_get at the end. This beats both the
+    # naive per-chunk round-trip loop AND a lax.map whole-image program — the
+    # scan body re-reads the closed-over hash tables per iteration, measured
+    # 6x slower than the same chunks as separate dispatches (67.2 s vs 11.2 s
+    # per 512^2 frame, exp/eval_profile.py, r3). Per-dispatch overhead is
+    # ~1 ms through the tunnel; at >= 16k-ray chunks it is noise.
+    chunk_outs = []
+    for i in range(num_chunks):
+        rb_i = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, i * chunk_size, chunk_size, 0)
+            if x is not None
+            else None,
+            pad_rb,
+        )
+        chunk_outs.append(apply_fn(rb_i))
+    out = jax.device_get(chunk_outs)
     images = {}
-    for k, arr in out.items():
-        arr = arr.reshape((num_chunks * chunk_size,) + arr.shape[2:])[:n]
-        if arr.ndim == 2:
-            images[k] = arr.reshape(h, w, arr.shape[-1])
-        else:
-            images[k] = arr.reshape(h, w, *arr.shape[1:])
+    for k in out[0]:
+        arr = np.concatenate([c[k] for c in out], axis=0)[:n]
+        images[k] = arr.reshape((h, w) + arr.shape[1:])
     return images

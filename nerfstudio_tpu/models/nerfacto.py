@@ -133,6 +133,10 @@ class NerfactoModelConfig(ModelConfig):
     # proposal nets through the block path: same access count as
     # prop_stochastic_corner but a full (smoothed) trilerp per access.
     prop_block: bool = True
+    # exact 8-corner field trilerp at eval/render (noise-free). False keeps
+    # the train-path one-gather stochastic trilerp at eval — the fast viewer
+    # "preview" mode (~8x less field gather traffic, slight per-pixel noise).
+    eval_exact_trilerp: bool = True
     average_init_density: float = 0.01
     camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "SO3xR3"
     implementation: str = "xla"
@@ -171,6 +175,7 @@ class NerfactoModel(Model):
             bwd_corner_sample=cfg.hash_grad_corner_sample,
             z_pair=cfg.field_z_pair,
             hash_block=cfg.field_block,
+            exact_eval=cfg.eval_exact_trilerp,
             train=self.train,
         )
         n_prop = self.num_proposal_rounds()

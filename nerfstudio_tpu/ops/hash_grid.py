@@ -674,6 +674,42 @@ def _proj_level_np(f, num_levels, level):
     return E
 
 
+def _block_exact_trilerp(
+    table_l, ix0, iy0, iz0, ox, oy, oz, *, bs, dense_b, nblocks, bpr, f
+):
+    """Exact 8-corner trilerp through the block layout (eval/render path).
+
+    One row gather + one parity-masked multiply per corner, accumulated into
+    a single (M, 128) weighted-lane buffer, then ONE MXU lane-reduce
+    ``(M,128)@(128,f)``. Differentiable by JAX autodiff (gather -> scatter-add)
+    — the train path uses the cheaper stochastic one-gather op instead."""
+    blk_of_lane, corner_of_lane, _ = _lane_splits(f)
+    tab_bf = table_l.astype(jnp.bfloat16)
+    wv = None
+    for corner in range(8):
+        dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+        vx, vy, vz = ix0 + dx, iy0 + dy, iz0 + dz
+        if dense_b:
+            blk = ((vx >> 1) * bs + (vy >> 1)) * bs + (vz >> 1)
+        else:
+            blk = _hash_corner(vx >> 1, vy >> 1, vz >> 1, nblocks)
+        parity = (vx & 1) << 2 | (vy & 1) << 1 | (vz & 1)
+        w_c = (
+            (ox if dx else 1.0 - ox)
+            * (oy if dy else 1.0 - oy)
+            * (oz if dz else 1.0 - oz)
+        )
+        vals = tab_bf[blk // bpr]  # (M, 128)
+        mask = (blk_of_lane == (blk % bpr)[:, None]) & (
+            corner_of_lane == parity[:, None]
+        )
+        part = jnp.where(mask, w_c[:, None] * vals.astype(jnp.float32), 0.0)
+        wv = part if wv is None else wv + part
+    return jnp.dot(
+        wv, _proj_feat(f).astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+
 def _hash_corner(cx, cy, cz, hash_table_size):
     cu_x = cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
     cu_y = cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
@@ -788,37 +824,19 @@ def hash_encode(
             ozb = jnp.clip(sz - iz0b, 0.0, 1.0)
 
             if block_exact:
-                # Exact 8-corner trilerp through the block layout as EIGHT
-                # fused weighted-row gathers (one per corner): each call
-                # gathers (n, 128) rows, applies the corner's weight at its
-                # parity lane, and lane-reduces on the MXU — the gathered
-                # rows fuse into the dot, so no (8n, 128) intermediate ever
-                # exists. The previous concat-8n + select materialized
-                # gigabyte-scale intermediates at render chunks (512^2 eval
-                # measured 4.6k rays/s; this path is ~8x the train gather).
-                corner_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-                acc = None
-                for corner in range(8):
-                    dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
-                    vx, vy, vz = ix0b + dx, iy0b + dy, iz0b + dz
-                    if dense_b:
-                        blk = ((vx >> 1) * bs + (vy >> 1)) * bs + (vz >> 1)
-                    else:
-                        blk = _hash_corner(vx >> 1, vy >> 1, vz >> 1, nblocks)
-                    parity = (vx & 1) << 2 | (vy & 1) << 1 | (vz & 1)
-                    w_c = (
-                        (oxb if dx else 1.0 - oxb)
-                        * (oyb if dy else 1.0 - oyb)
-                        * (ozb if dz else 1.0 - ozb)
-                    )
-                    # corner weight placed at its parity slot of the block
-                    w8_c = jnp.where(
-                        parity[:, None] == corner_iota, w_c[:, None], 0.0
-                    )  # (n, 8)
-                    part = _row_gather_block_tw(
-                        table[l], blk // bpr, blk % bpr, w8_c, features_per_level
-                    )
-                    acc = part if acc is None else acc + part
+                # Exact 8-corner trilerp through the block layout: 8 row
+                # gathers, ONE parity-masked multiply per corner (the corner
+                # parities are a bijection, parity = base_parity ^ corner),
+                # and ONE MXU lane-reduce for the whole stencil. The previous
+                # version routed each corner through _row_gather_block_tw,
+                # whose 8-pass _weighted_lanes ran 64 masked passes + 8 dots
+                # per level — measured 59% of the eval chunk
+                # (exp/eval_profile.py r3).
+                acc = _block_exact_trilerp(
+                    table[l], ix0b, iy0b, iz0b, oxb, oyb, ozb,
+                    bs=bs, dense_b=dense_b, nblocks=nblocks, bpr=bpr,
+                    f=features_per_level,
+                )
                 level_outputs.append(acc)
                 continue
 

@@ -72,8 +72,12 @@ class VanillaPipeline:
     # ------------------------------------------------------------------
     def init_params(self, key: jax.Array, example_rays=None):
         if example_rays is None:
+            # >= 1 ray per resolution bucket (bucketed sampling allocates
+            # every bucket at least one ray per batch)
+            buckets = getattr(self.datamanager, "_buckets", None)
+            n_rays = max(8, len(buckets)) if buckets is not None else 8
             idx, _ = self.datamanager.sample_train_batch(
-                jax.random.PRNGKey(0), self.datamanager.train_images, num_rays=8
+                jax.random.PRNGKey(0), self.datamanager.train_images, num_rays=n_rays
             )
             example_rays = generate_rays_from_indices(self.datamanager.train_cameras, idx)
         return self.model_train.init(key, example_rays, key=jax.random.PRNGKey(0))
@@ -238,17 +242,22 @@ class VanillaPipeline:
         self._eval_chunk = eval_chunk
         return eval_chunk
 
+    def _default_chunk(self) -> int:
+        return int(getattr(self.model_eval.config, "eval_num_rays_per_chunk", 1 << 15))
+
     def render_camera(
-        self, params, cameras: Cameras, camera_idx: int, chunk_size: int = 4096, aux=None
+        self, params, cameras: Cameras, camera_idx: int, chunk_size: Optional[int] = None,
+        aux=None,
     ) -> Dict[str, np.ndarray]:
         if self._eval_chunk is None:
             self.build_eval_chunk()
         return render_camera(
-            lambda rb: self._eval_chunk(params, rb, aux), cameras, camera_idx, chunk_size
+            lambda rb: self._eval_chunk(params, rb, aux), cameras, camera_idx,
+            chunk_size or self._default_chunk(),
         )
 
     def get_eval_image_metrics_and_images(
-        self, state: TrainState, camera_idx: int, chunk_size: int = 4096
+        self, state: TrainState, camera_idx: int, chunk_size: Optional[int] = None
     ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
         """(reference base_pipeline.py:328-380)"""
         cam_idx, batch = self.datamanager.eval_image(camera_idx)
@@ -280,7 +289,7 @@ class VanillaPipeline:
         return metrics, images
 
     def get_average_eval_image_metrics(
-        self, state: TrainState, chunk_size: int = 4096
+        self, state: TrainState, chunk_size: Optional[int] = None
     ) -> Dict[str, float]:
         """(reference base_pipeline.py:419-452)"""
         import time

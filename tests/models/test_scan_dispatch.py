@@ -82,6 +82,45 @@ def test_scan_matches_sequential(blender_dir):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=5e-2, atol=2e-2)
 
 
+def test_scan_matches_sequential_sgd_tight(blender_dir):
+    """Same scan-vs-sequential contract, but under plain SGD so the tiny
+    XLA reduce-order drift is NOT amplified by Adam's grad/sqrt(v) on
+    near-zero params — this one runs at tight tolerance and would catch a
+    real scan-dispatch/donation bug (wrong rng schedule, stale state, wrong
+    step kwargs) that the loose Adam check above cannot."""
+    import optax
+
+    from nerfstudio_tpu.models.nerfacto import NerfactoModel
+
+    n = 3
+    pipeline, state, config = _tiny_nerfacto(blender_dir)
+    pipeline.tx = optax.sgd(1e-3)
+    state = pipeline.init_state(jax.random.PRNGKey(0), params=state.params)
+    images = pipeline.datamanager.train_images
+    base_key = jax.random.PRNGKey(3)
+    seq_state = state
+    for i in range(n):
+        kwargs = NerfactoModel.step_kwargs(i, config.model)
+        seq_state, seq_metrics = pipeline.train_step(
+            seq_state, images, jax.random.fold_in(base_key, i), **kwargs
+        )
+
+    pipeline2, state2, config2 = _tiny_nerfacto(blender_dir)
+    pipeline2.tx = optax.sgd(1e-3)
+    state2 = pipeline2.init_state(jax.random.PRNGKey(0), params=state2.params)
+    scan = pipeline2.build_train_step_scan(NerfactoModel, config2.model)
+    scan_state, scan_metrics = scan(state2, images, base_key, n_steps=n)
+
+    assert int(scan_state.step) == int(seq_state.step) == n
+    np.testing.assert_allclose(
+        float(scan_metrics["loss"]), float(seq_metrics["loss"]), rtol=1e-4
+    )
+    a = jax.tree_util.tree_leaves(seq_state.params)
+    b = jax.tree_util.tree_leaves(scan_state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4, atol=1e-6)
+
+
 def test_traced_step_kwargs_match_host():
     from nerfstudio_tpu.configs.method_configs import get_method
     from nerfstudio_tpu.models.nerfacto import NerfactoModel

@@ -184,15 +184,12 @@ def bench_splatfacto(side: int = 512, n_gauss: int = 100_000, steps: int = 30) -
 
 
 def main() -> None:
-    results = []
-    for fn in (bench_instant_ngp, bench_nerfacto_eval, bench_splatfacto):
-        try:
-            r = fn()
-        except Exception as e:  # noqa: BLE001
-            r = {"metric": fn.__name__, "error": str(e)[:300]}
+    # A crashed bench is a BUG, not a result: fail loudly and write nothing
+    # (VERDICT r2 weak #1 — an `"error"` entry was committed as the artifact).
+    results = [fn() for fn in (bench_instant_ngp, bench_nerfacto_eval, bench_splatfacto)]
+    for r in results:
         print(json.dumps(r))
-        results.append(r)
-    out = Path(__file__).parent.parent / "benchmarks" / "bench_models_r2.json"
+    out = Path(__file__).parent.parent / "benchmarks" / "bench_models_r3.json"
     with open(out, "w", encoding="utf-8") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out}")
