@@ -8,10 +8,11 @@ offline build, so there are two modes:
     lpips linear heads is provided via ``NST_LPIPS_WEIGHTS`` (or found at
     ``~/.cache/nerfstudio_tpu/lpips_vgg.npz``). The metric is then reported
     as ``lpips`` and matches the published metric.
-  * proxy mode — deterministic random conv features (normalized, LPIPS-style
-    unit-norm feature distance). Correlates with perceptual distance but is
-    NOT comparable to published LPIPS numbers, so it is reported under the
-    distinct key ``lpips_proxy``.
+  * random-VGG mode — the FULL VGG16/LPIPS architecture with fixed-seed
+    He-initialized filters and uniform linear heads. The LPIPS paper itself
+    measures random networks under this protocol at ~0.61 2AFC — above
+    SSIM/FSIM, below trained nets. NOT comparable to published LPIPS
+    numbers, so it is reported under the distinct key ``lpips_rand_vgg``.
 
 Use ``tools/convert_lpips_weights.py`` (requires torch + torchvision + lpips
 with network access) to produce the npz.
@@ -84,41 +85,48 @@ def _lpips_real(pred: jnp.ndarray, target: jnp.ndarray, params) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# proxy mode: deterministic random strided conv stack (round-1 behaviour)
+# random-VGG mode: the FULL VGG16/LPIPS architecture with deterministic
+# He-initialized random filters and uniform (1/C) linear heads.
+#
+# Why this is a principled offline fallback: the LPIPS paper (Zhang et al.,
+# CVPR 2018, "The Unreasonable Effectiveness of Deep Features...", Table 5)
+# measures RANDOMLY-initialized networks under the same unit-normalized
+# feature-distance protocol at ~0.61 2AFC — clearly above the best
+# traditional metrics (SSIM/FSIM ~0.58-0.60) though below the trained nets
+# (~0.69). The architecture + normalization carry most of the signal.
+# Reported under the distinct key ``lpips_rand_vgg``: NOT comparable to
+# published LPIPS values, but a real perceptual metric with documented
+# provenance (replaces the round-1/2 4-layer ``lpips_proxy``).
 # ---------------------------------------------------------------------------
-
-_PROXY_CHANNELS = (16, 32, 64, 128)
 
 
 @functools.lru_cache(maxsize=1)
-def _proxy_weights():
-    rng = np.random.default_rng(1234)
-    weights = []
+def _rand_vgg_params():
+    rng = np.random.default_rng(20260819)
+    params = {}
     cin = 3
-    for cout in _PROXY_CHANNELS:
-        w = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32) / np.sqrt(cin * 9)
-        weights.append(jnp.asarray(w))
-        cin = cout
-    return tuple(weights)
+    conv_i = 0
+    for c in _VGG16_CFG:
+        if c == "M":
+            continue
+        fan_in = cin * 9
+        params[f"conv{conv_i}_w"] = jnp.asarray(
+            rng.standard_normal((c, cin, 3, 3)).astype(np.float32)
+            * np.sqrt(2.0 / fan_in)
+        )
+        params[f"conv{conv_i}_b"] = jnp.zeros((c,), jnp.float32)
+        cin = c
+        conv_i += 1
+    # uniform linear heads: mean over channels (the paper's "lin" setting
+    # collapses to this when untrained)
+    tap_channels = (64, 128, 256, 512, 512)
+    for i, ch in enumerate(tap_channels):
+        params[f"lin{i}_w"] = jnp.full((1, ch, 1, 1), 1.0 / ch, jnp.float32)
+    return params
 
 
-def _lpips_proxy(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    def feats(img):
-        x = jnp.moveaxis((img - 0.5) * 2.0, -1, 0)[None]
-        out = []
-        ws = _proxy_weights()
-        for i, w in enumerate(ws):
-            dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
-            x = jax.lax.conv_general_dilated(x, w, (2, 2), "SAME", dimension_numbers=dn)
-            if i < len(ws) - 1:
-                x = jax.nn.relu(x)
-            out.append(_normalize(x))
-        return out
-
-    dist = 0.0
-    for a, b in zip(feats(pred), feats(target)):
-        dist = dist + jnp.mean((a - b) ** 2)
-    return dist
+def _lpips_rand(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return _lpips_real(pred, target, _rand_vgg_params())
 
 
 # ---------------------------------------------------------------------------
@@ -146,9 +154,10 @@ def lpips_fn() -> Tuple[Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray], str]:
     """Return (metric_fn, metric_name).
 
     ``metric_name`` is "lpips" only when real pretrained weights are loaded;
-    otherwise "lpips_proxy" so eval JSONs are never mistaken for published
-    LPIPS numbers."""
+    otherwise "lpips_rand_vgg" (full VGG16/LPIPS architecture, fixed-seed
+    He-random filters — see the provenance note above) so eval JSONs are
+    never mistaken for published LPIPS numbers."""
     params = _load_weights()
     if params is not None:
         return functools.partial(_lpips_real, params=params), "lpips"
-    return _lpips_proxy, "lpips_proxy"
+    return _lpips_rand, "lpips_rand_vgg"

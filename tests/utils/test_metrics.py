@@ -68,6 +68,41 @@ def test_psnr_golden():
     assert float(psnr(jnp.asarray(a), jnp.asarray(b))) == pytest.approx(20.0, abs=1e-4)
 
 
+def test_lpips_rand_vgg_properties():
+    """Perceptual-metric sanity of the random-VGG LPIPS fallback: identity is
+    zero, distance grows monotonically with distortion strength, and small
+    geometric shifts of texture cost less than matched-MSE pixel noise (the
+    deep-feature hallmark pointwise metrics lack)."""
+    from nerfstudio_tpu.utils.lpips import lpips_fn
+
+    fn, name = lpips_fn()
+    assert name in ("lpips", "lpips_rand_vgg")
+    rng = np.random.default_rng(5)
+    # smooth textured image (noise is too feature-less for the shift check)
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    img = np.stack(
+        [np.sin(9 * xx + 4 * yy), np.sin(7 * yy), np.cos(5 * (xx + yy))], axis=-1
+    ).astype(np.float32) * 0.4 + 0.5
+
+    assert float(fn(jnp.asarray(img), jnp.asarray(img))) == pytest.approx(0.0, abs=1e-6)
+
+    vals = []
+    for noise in (0.02, 0.08, 0.25):
+        b = np.clip(img + rng.normal(scale=noise, size=img.shape).astype(np.float32), 0, 1)
+        vals.append(float(fn(jnp.asarray(img), jnp.asarray(b))))
+    assert vals == sorted(vals) and vals[0] > 0.0
+
+    # 2px translation vs noise at MATCHED mse
+    shifted = np.roll(img, 2, axis=1)
+    mse = float(((shifted - img) ** 2).mean())
+    noisy = np.clip(
+        img + rng.normal(scale=np.sqrt(mse), size=img.shape).astype(np.float32), 0, 1
+    )
+    d_shift = float(fn(jnp.asarray(img), jnp.asarray(shifted)))
+    d_noise = float(fn(jnp.asarray(img), jnp.asarray(noisy)))
+    assert d_shift < d_noise, (d_shift, d_noise)
+
+
 def test_knn_vs_bruteforce():
     from nerfstudio_tpu.utils.math import k_nearest_neighbors
 
