@@ -92,14 +92,6 @@ class DeviceCacheDataManager:
                     f"pixel_sampler={config.pixel_sampler!r} unsupported with "
                     "variable-resolution buckets (uniform only)"
                 )
-            if train_dataset._dataparser_outputs.mask_filenames is not None:
-                raise NotImplementedError(
-                    "per-pixel masks unsupported with variable-resolution buckets"
-                )
-            if config.max_images_in_memory is not None:
-                raise NotImplementedError(
-                    "max_images_in_memory unsupported with variable-resolution buckets"
-                )
             self._all_images_host = None
             self._masks_host = None
             cmin = min(b["images"].shape[-1] for b in self._buckets)
@@ -139,24 +131,55 @@ class DeviceCacheDataManager:
         # both on-disk depth files and the DepthDataset SfM-projection
         # fallback (datasets.py provides_depth)
         self._all_depths_host = None
-        if getattr(train_dataset, "provides_depth", False) or getattr(
-            train_dataset, "depth_filenames", None
+        if self._buckets is None and (
+            getattr(train_dataset, "provides_depth", False)
+            or getattr(train_dataset, "depth_filenames", None)
         ):
-            if self._buckets is not None:
-                raise NotImplementedError(
-                    "depth supervision unsupported with variable-resolution buckets"
-                )
             self._all_depths_host = np.stack(
                 [train_dataset.get_metadata(i)["depth_image"] for i in range(len(train_dataset))]
             ).astype(np.float32)
 
+        self.bucket_valid = None
+        self.bucket_depths = None
         if self._buckets is not None:
-            self.train_images = tuple(self._put(b["images"]) for b in self._buckets)
-            self.bucket_cam_maps = tuple(
-                self._put(b["camera_indices"]) for b in self._buckets
-            )
+            has_masks = any("masks" in b for b in self._buckets)
+            if self._subsetting and has_masks:
+                raise NotImplementedError(
+                    "max_images_in_memory with per-pixel masks is unsupported: "
+                    "the mask-valid index tables are built over the full stacks"
+                )
+            if self._subsetting and any("depths" in b for b in self._buckets):
+                raise NotImplementedError(
+                    "max_images_in_memory with bucketed depth supervision is "
+                    "unsupported: the depth stacks are trace-captured, so a "
+                    "resident reload would silently train on stale depths"
+                )
+            if self._subsetting:
+                # fixed per-bucket resident counts (static shapes across
+                # reloads), proportional to bucket size
+                m = config.max_images_in_memory
+                sizes = np.array([len(b["camera_indices"]) for b in self._buckets])
+                mb = np.maximum(1, (m * sizes / sizes.sum()).astype(int))
+                self._bucket_resident_counts = tuple(
+                    int(min(x, s)) for x, s in zip(mb, sizes)
+                )
+                self._load_bucket_subset(np.random.default_rng(0))
+            else:
+                self.train_images = tuple(self._put(b["images"]) for b in self._buckets)
+                self.bucket_cam_maps = tuple(
+                    self._put(b["camera_indices"]) for b in self._buckets
+                )
+                self.resident_map = None
+                if any("depths" in b for b in self._buckets):
+                    self.bucket_depths = tuple(
+                        self._put(b["depths"]) for b in self._buckets
+                    )
+            if has_masks:
+                # per-bucket mask-valid (slot,row,col) tables (mixed-res v2)
+                self.bucket_valid = tuple(
+                    self._put(build_valid_indices(b["masks"])) for b in self._buckets
+                )
             self.train_depths = None
-            self.resident_map = None
         else:
             self._load_subset(self._select_subset(np.random.default_rng(0)))
 
@@ -192,12 +215,30 @@ class DeviceCacheDataManager:
         else:
             self.train_depths = None
 
+    def _load_bucket_subset(self, rng) -> None:
+        """Bucketed resident subsets: per bucket, upload a fixed-size random
+        image subset and expose the slot->original-camera maps as
+        ``resident_map`` (a TUPLE of per-bucket maps, threaded through the
+        jitted step exactly like the flat path's map — mixed-res v2)."""
+        imgs, cmaps = [], []
+        for b, mb in zip(self._buckets, self._bucket_resident_counts):
+            size = len(b["camera_indices"])
+            pick = rng.choice(size, size=mb, replace=False) if mb < size else np.arange(size)
+            imgs.append(self._put(b["images"][pick]))
+            cmaps.append(self._put(b["camera_indices"][pick]))
+        self.train_images = tuple(imgs)
+        self.bucket_cam_maps = tuple(cmaps)
+        self.resident_map = tuple(cmaps)
+
     def maybe_reload(self, step: int, rng=None) -> None:
         """Swap the resident image subset (host->HBM) on the reload cadence."""
         if not self._subsetting or step % self.config.steps_per_reload != 0:
             return
         rng = rng or np.random.default_rng(step)
-        self._load_subset(self._select_subset(rng))
+        if self._buckets is not None:
+            self._load_bucket_subset(rng)
+        else:
+            self._load_subset(self._select_subset(rng))
 
     # -- jit-side pure functions ------------------------------------------
 
@@ -214,10 +255,21 @@ class DeviceCacheDataManager:
                 f"num_rays={num_rays} < {len(self._buckets)} resolution buckets: "
                 "every bucket needs >= 1 ray per batch (raise the ray budget)"
             )
-        pix = np.array(
-            [b["images"].shape[0] * b["images"].shape[1] * b["images"].shape[2]
-             for b in self._buckets], np.float64,
-        )
+        if self.bucket_valid is not None:
+            # masked: allocate proportional to VALID pixel counts, so sampling
+            # stays uniform over supervised pixels across the whole split
+            pix = np.array([v.shape[0] for v in self.bucket_valid], np.float64)
+        elif self._subsetting:
+            pix = np.array(
+                [mb * b["images"].shape[1] * b["images"].shape[2]
+                 for mb, b in zip(self._bucket_resident_counts, self._buckets)],
+                np.float64,
+            )
+        else:
+            pix = np.array(
+                [b["images"].shape[0] * b["images"].shape[1] * b["images"].shape[2]
+                 for b in self._buckets], np.float64,
+            )
         alloc = np.maximum(1, np.floor(num_rays * pix / pix.sum()).astype(int))
         # distribute the remainder to the largest buckets
         while alloc.sum() < num_rays:
@@ -228,18 +280,30 @@ class DeviceCacheDataManager:
         return tuple(int(a) for a in alloc)
 
     def _sample_train_batch_bucketed(
-        self, key: jax.Array, images, num_rays: int
+        self, key: jax.Array, images, num_rays: int, resident_map=None
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         alloc = self._bucket_ray_alloc(num_rays)
         keys = jax.random.split(key, len(images))
-        idx_parts, rgb_parts = [], []
-        for img, cmap, k, r in zip(images, self.bucket_cam_maps, keys, alloc):
+        cmaps = resident_map if resident_map is not None else self.bucket_cam_maps
+        valids = self.bucket_valid or (None,) * len(images)
+        depths = self.bucket_depths or (None,) * len(images)
+        idx_parts, rgb_parts, depth_parts = [], [], []
+        for img, cmap, valid, dep, k, r in zip(
+            images, cmaps, valids, depths, keys, alloc
+        ):
             b, hgt, wid = img.shape[0], img.shape[1], img.shape[2]
-            idx_b = sample_pixel_indices(k, r, b, hgt, wid)
+            if valid is not None:
+                idx_b = sample_pixel_indices_from_valid(k, r, valid)
+            else:
+                idx_b = sample_pixel_indices(k, r, b, hgt, wid)
             rgb_parts.append(gather_pixels(img, idx_b))
+            if dep is not None:
+                depth_parts.append(gather_pixels(dep, idx_b))
             idx_parts.append(idx_b.at[:, 0].set(cmap[idx_b[:, 0]]))
         idx = jnp.concatenate(idx_parts, axis=0)
         batch = {"image": jnp.concatenate(rgb_parts, axis=0), "indices": idx}
+        if depth_parts:
+            batch["depth_image"] = jnp.concatenate(depth_parts, axis=0)
         return idx, batch
 
     def sample_train_batch(
@@ -257,7 +321,9 @@ class DeviceCacheDataManager:
         camera indices (remapped through ``resident_map``)."""
         num_rays = num_rays or self.config.train_num_rays_per_batch
         if isinstance(images, (tuple, list)):
-            return self._sample_train_batch_bucketed(key, images, num_rays)
+            return self._sample_train_batch_bucketed(
+                key, images, num_rays, resident_map=resident_map
+            )
         n = images.shape[0]
         sampler = self.config.pixel_sampler
         if self.valid_indices is not None:

@@ -152,9 +152,16 @@ class InputDataset:
         shape XLA program.
 
         Returns a list of ``{"images": (B,H,W,C) uint8,
-        "camera_indices": (B,) int32}``, largest bucket first.
+        "camera_indices": (B,) int32[, "masks": (B,H,W,1) bool,
+        "depths": (B,H,W) f32]}``, largest bucket first. Masks/depths are
+        included when the dataset carries them (mixed-res v2: per-bucket
+        mask-valid sampling and depth supervision).
         """
         images = [self.get_numpy_image(i) for i in range(len(self))]
+        has_masks = self._dataparser_outputs.mask_filenames is not None
+        has_depth = getattr(self, "provides_depth", False) or getattr(
+            self, "depth_filenames", None
+        )
         buckets: Dict[tuple, List[int]] = {}
         for i, im in enumerate(images):
             buckets.setdefault(im.shape, []).append(i)
@@ -162,12 +169,17 @@ class InputDataset:
         for shape, idxs in sorted(
             buckets.items(), key=lambda kv: -len(kv[1]) * kv[0][0] * kv[0][1]
         ):
-            out.append(
-                {
-                    "images": np.stack([images[i] for i in idxs], axis=0),
-                    "camera_indices": np.asarray(idxs, np.int32),
-                }
-            )
+            b = {
+                "images": np.stack([images[i] for i in idxs], axis=0),
+                "camera_indices": np.asarray(idxs, np.int32),
+            }
+            if has_masks:
+                b["masks"] = np.stack([self.get_mask(i) for i in idxs], axis=0)
+            if has_depth:
+                b["depths"] = np.stack(
+                    [self.get_metadata(i)["depth_image"] for i in idxs], axis=0
+                ).astype(np.float32)
+            out.append(b)
         return out
 
 

@@ -135,7 +135,11 @@ class SplatPipeline:
                         if model.config.camera_optimizer_mode == "SE3"
                         else exp_map_SO3xR3
                     )
-                    adj = exp_map(params["camera_opt"][cam_idx][None])[0]
+                    # zero-mean gauge: coherent all-camera drift is re-absorbed
+                    # into the world frame (see CameraOptimizer.zero_mean_gauge)
+                    co = params["camera_opt"]
+                    co = co - jnp.mean(co, axis=0, keepdims=True)
+                    adj = exp_map(co[cam_idx][None])[0]
                     c2w_adj = pose_multiply(adj, c2w)
                 outputs = model.render(
                     params, state.aux.alive, c2w_adj,
@@ -248,7 +252,9 @@ class SplatPipeline:
                             if model.config.camera_optimizer_mode == "SE3"
                             else exp_map_SO3xR3
                         )
-                        adj = exp_map(params["camera_opt"][ci][None])[0]
+                        co = params["camera_opt"]
+                        co = co - jnp.mean(co, axis=0, keepdims=True)
+                        adj = exp_map(co[ci][None])[0]
                         c2w_adj = pose_multiply(adj, c2w)
                     outputs = model.render(
                         params, state.aux.alive, c2w_adj,

@@ -101,6 +101,144 @@ def test_bucketed_sampling_is_jittable(manager):
     assert idx.shape == (64, 3) and rgb.shape == (64, 3)
 
 
+@pytest.fixture(scope="module")
+def masked_mixed_dir(tmp_path_factory):
+    return make_mixed_res_fixture(
+        tmp_path_factory.mktemp("mixed_masked"), n=6, hws=(32, 24, 32), masks=True
+    )
+
+
+def test_masked_buckets_sample_only_valid(masked_mixed_dir):
+    """Mixed-res v2: per-bucket mask-valid sampling — no sampled pixel may
+    land in a masked-out region (left quarter of every frame)."""
+    parser = NerfstudioDataParserConfig(
+        data=masked_mixed_dir, train_split_fraction=1.0, downscale_factor=1
+    ).setup()
+    ds = InputDataset(parser.get_dataparser_outputs("train"))
+    dm = DeviceCacheDataManager(DataManagerConfig(train_num_rays_per_batch=64), ds)
+    assert dm.bucket_valid is not None and len(dm.bucket_valid) == 2
+    idx, batch = dm.sample_train_batch(jax.random.PRNGKey(7), dm.train_images, num_rays=64)
+    idx_np = np.asarray(idx)
+    widths = np.asarray(dm.train_cameras.width).reshape(-1)
+    for cam, row, col in idx_np:
+        assert col >= widths[cam] // 4, (cam, row, col)  # left quarter masked
+
+    # allocation is proportional to VALID pixels, and rgb matches host lookup
+    alloc = dm._bucket_ray_alloc(64)
+    assert sum(alloc) == 64 and all(a >= 1 for a in alloc)
+    rgb = np.asarray(batch["image"])
+    for r in range(16):
+        cam, row, col = idx_np[r]
+        expect = ds.get_numpy_image(int(cam))[row, col].astype(np.float32) / 255.0
+        np.testing.assert_allclose(rgb[r], expect, atol=1e-6)
+
+
+def test_masked_mixed_res_trains(masked_mixed_dir, tmp_path):
+    """VERDICT r2 #10 done-criterion: a masked mixed-res fixture trains
+    end-to-end (phototourism-with-masks, its realistic shape)."""
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.pipelines.factory import build_pipeline
+
+    config = get_method("nerfacto")
+    config.dataparser = NerfstudioDataParserConfig(
+        data=masked_mixed_dir, train_split_fraction=1.0, downscale_factor=1
+    )
+    config.data = masked_mixed_dir
+    config.trainer.output_dir = tmp_path / "outputs"
+    config.datamanager.train_num_rays_per_batch = 32
+    for attr, val in [
+        ("log2_hashmap_size", 9), ("max_res", 64), ("hidden_dim", 8),
+        ("hidden_dim_color", 8), ("num_nerf_samples_per_ray", 4),
+        ("num_proposal_samples_per_ray", (4, 4)), ("eval_num_rays_per_chunk", 64),
+    ]:
+        if hasattr(config.model, attr):
+            setattr(config.model, attr, val)
+    pipeline, state, config = build_pipeline(config, use_mesh=False)
+    ModelCls = config.model._target
+    key = jax.random.PRNGKey(0)
+    for step in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = pipeline.train_step(
+            state, pipeline.datamanager.train_images, k,
+            **ModelCls.step_kwargs(step, config.model),
+        )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_bucket_subset_reload(mixed_dir):
+    """Mixed-res v2: max_images_in_memory with buckets — fixed per-bucket
+    resident counts, resident_map carries ORIGINAL camera ids, reload swaps
+    the resident set without changing shapes (no recompile)."""
+    parser = NerfstudioDataParserConfig(
+        data=mixed_dir, train_split_fraction=1.0, downscale_factor=1
+    ).setup()
+    ds = InputDataset(parser.get_dataparser_outputs("train"))
+    dm = DeviceCacheDataManager(
+        DataManagerConfig(
+            train_num_rays_per_batch=64, max_images_in_memory=3, steps_per_reload=1
+        ),
+        ds,
+    )
+    assert dm._subsetting and isinstance(dm.resident_map, tuple)
+    shapes0 = tuple(x.shape for x in dm.train_images)
+    # counts proportional to bucket sizes (4:2 -> 2:1)
+    assert shapes0[0][0] == 2 and shapes0[1][0] == 1
+
+    @jax.jit
+    def sample(key, images, resident_map):
+        return dm.sample_train_batch(key, images, num_rays=64, resident_map=resident_map)
+
+    seen = set()
+    for step in range(6):
+        dm.maybe_reload(step, rng=np.random.default_rng(step))
+        assert tuple(x.shape for x in dm.train_images) == shapes0  # static shapes
+        idx, batch = sample(jax.random.PRNGKey(step), dm.train_images, dm.resident_map)
+        idx_np = np.asarray(idx)
+        heights = np.asarray(dm.train_cameras.height).reshape(-1)
+        for cam, row, col in idx_np:
+            assert row < heights[cam]
+            # gathered rgb matches the ORIGINAL camera's image
+        seen.update(idx_np[:, 0].tolist())
+        rgb = np.asarray(batch["image"])
+        for r in range(8):
+            cam, row, col = idx_np[r]
+            expect = ds.get_numpy_image(int(cam))[row, col].astype(np.float32) / 255.0
+            np.testing.assert_allclose(rgb[r], expect, atol=1e-6)
+    # reloads rotate through more cameras than one resident set holds
+    assert len(seen) > 3
+
+
+def test_bucketed_depth_stacks():
+    """Mixed-res v2: per-bucket depth supervision — depth_image rides the
+    batch exactly like the flat path."""
+    from nerfstudio_tpu.data.datasets import InputDataset as _DS
+
+    class FakeDepthDataset(_DS):
+        provides_depth = True
+
+        def get_metadata(self, idx):
+            hw = self.get_numpy_image(idx).shape[0]
+            return {"depth_image": np.full((hw, hw, 1), 1.0 + idx, np.float32)}
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        root = make_mixed_res_fixture(Path(td), n=4, hws=(32, 24))
+        parser = NerfstudioDataParserConfig(
+            data=root, train_split_fraction=1.0, downscale_factor=1
+        ).setup()
+        ds = FakeDepthDataset(parser.get_dataparser_outputs("train"))
+        dm = DeviceCacheDataManager(DataManagerConfig(train_num_rays_per_batch=32), ds)
+        assert dm.bucket_depths is not None
+        idx, batch = dm.sample_train_batch(
+            jax.random.PRNGKey(0), dm.train_images, num_rays=32
+        )
+        assert "depth_image" in batch
+        d = np.asarray(batch["depth_image"]).reshape(-1)
+        cams = np.asarray(idx)[:, 0]
+        np.testing.assert_allclose(d, 1.0 + cams, atol=1e-6)
+
+
 def test_mixed_res_smoke_train(mixed_dir, tmp_path):
     """nerfacto trains end-to-end on a 2-resolution capture (VERDICT #4
     done-criterion: a test training on a fixture with >=2 distinct

@@ -123,14 +123,18 @@ def make_nerfstudio_fixture(root: Path, n: int = 6, hw: int = 32) -> Path:
     return root
 
 
-def make_mixed_res_fixture(root: Path, n: int = 6, hws=(32, 24, 32)) -> Path:
+def make_mixed_res_fixture(root: Path, n: int = 6, hws=(32, 24, 32), masks: bool = False) -> Path:
     """nerfstudio-format capture with PER-FRAME resolutions (phototourism's
     real shape): frame i gets hws[i % len(hws)] square images with matching
-    per-frame intrinsics. Exercises the bucketed variable-res data path."""
+    per-frame intrinsics. Exercises the bucketed variable-res data path.
+    ``masks=True`` adds a per-frame mask excluding the left quarter of each
+    image (mask_path semantics, reference pixel_samplers.py:82)."""
     from PIL import Image
 
     root = Path(root)
     (root / "images").mkdir(parents=True, exist_ok=True)
+    if masks:
+        (root / "masks").mkdir(parents=True, exist_ok=True)
     frames = []
     for i in range(n):
         hw = int(hws[i % len(hws)])
@@ -141,18 +145,23 @@ def make_mixed_res_fixture(root: Path, n: int = 6, hws=(32, 24, 32)) -> Path:
         img = render_sphere_image(c2w, hw, hw, focal)
         name = f"images/frame_{i:05d}.png"
         Image.fromarray(img[..., :3]).save(root / name)
-        frames.append(
-            {
-                "file_path": name,
-                "transform_matrix": c2w.tolist(),
-                "fl_x": focal,
-                "fl_y": focal,
-                "cx": hw / 2,
-                "cy": hw / 2,
-                "w": hw,
-                "h": hw,
-            }
-        )
+        frame = {
+            "file_path": name,
+            "transform_matrix": c2w.tolist(),
+            "fl_x": focal,
+            "fl_y": focal,
+            "cx": hw / 2,
+            "cy": hw / 2,
+            "w": hw,
+            "h": hw,
+        }
+        if masks:
+            m = np.full((hw, hw), 255, np.uint8)
+            m[:, : hw // 4] = 0  # exclude the left quarter
+            mname = f"masks/frame_{i:05d}.png"
+            Image.fromarray(m).save(root / mname)
+            frame["mask_path"] = mname
+        frames.append(frame)
     meta = {"camera_model": "OPENCV", "frames": frames}
     with open(root / "transforms.json", "w") as f:
         json.dump(meta, f)

@@ -70,7 +70,7 @@ def make_scenes(root: Path, hw: int, n_train: int, n_test: int) -> None:
 
 def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path,
              eval_chunk: int = 1 << 14, overrides: dict | None = None,
-             tag: str = "") -> dict:
+             tag: str = "", dump_images: Path | None = None) -> dict:
     import jax
     import numpy as np
 
@@ -171,6 +171,19 @@ def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path
         rays = config.datamanager.train_num_rays_per_batch
         result["train_rays_per_sec"] = rays * steps / train_s
         metrics = pipeline.get_average_eval_image_metrics(state, chunk_size=eval_chunk)
+        if dump_images is not None:
+            from PIL import Image
+
+            dump_images.mkdir(parents=True, exist_ok=True)
+            for i in range(min(3, len(pipeline.datamanager.eval_dataset))):
+                m, imgs = pipeline.get_eval_image_metrics_and_images(
+                    state, i, chunk_size=eval_chunk
+                )
+                # imgs["img"] = [gt | pred] side by side, float [0,1]
+                arr = np.clip(np.asarray(imgs["img"]) * 255.0, 0, 255).astype(np.uint8)
+                name = f"{method}_{scene}{('_' + tag) if tag else ''}_view{i}.png"
+                Image.fromarray(arr).save(dump_images / name)
+                print(f"dumped {dump_images / name} psnr={m['psnr']:.2f} ssim={m['ssim']:.3f}")
 
     result["train_seconds"] = train_s
     result["metrics"] = {k: round(float(v), 4) for k, v in metrics.items()}
@@ -202,6 +215,8 @@ def main() -> None:
     ap.add_argument("--override", action="append", default=[],
                     help="model ablation: key=value (repeatable)")
     ap.add_argument("--tag", default="", help="output filename tag for ablations")
+    ap.add_argument("--dump-images", type=Path, default=None,
+                    help="dir to save [gt|pred] comparison PNGs of 3 eval views")
     args = ap.parse_args()
 
     if args.make_scenes is not None:
@@ -211,7 +226,7 @@ def main() -> None:
     steps = args.steps or DEFAULT_STEPS.get(args.method, 5000)
     ov = dict(o.split("=", 1) for o in args.override) or None
     run_gate(args.method, args.scenes / args.scene, args.scene, steps, args.out,
-             overrides=ov, tag=args.tag)
+             overrides=ov, tag=args.tag, dump_images=args.dump_images)
 
 
 if __name__ == "__main__":
