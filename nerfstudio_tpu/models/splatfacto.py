@@ -90,6 +90,12 @@ class SplatfactoModelConfig(ModelConfig):
     tiles_per_gauss: int = 16
     max_per_tile: int = 512
     tile_chunk: int = 64
+    # two-class tile emission: the top N//big_frac splats by screen radius
+    # emit an extra big_tiles_per_gauss window (0 disables). At 1 MP the
+    # near splats span far more than the base 4x4-tile window — without this
+    # their 3-sigma tails are clipped (visible as holes around big splats).
+    big_frac: int = 16
+    big_tiles_per_gauss: int = 64
     # "saturating" blends the FULL depth-sorted per-tile lists chunk-wise
     # until pixel transmittance saturates (exact gsplat semantics, adaptive
     # cost); "bounded" keeps only the nearest max_per_tile per tile.
@@ -236,6 +242,8 @@ class SplatfactoModel:
             tile_chunk=cfg.tile_chunk,
             mode=cfg.blend_mode,
             blend_chunk_size=cfg.blend_chunk_size,
+            big_frac=cfg.big_frac,
+            big_tiles_per_gauss=cfg.big_tiles_per_gauss,
         )
         if background is None:
             if cfg.background_color == "random" and key is not None:

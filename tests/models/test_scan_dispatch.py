@@ -38,6 +38,15 @@ def _tiny_nerfacto(blender_dir):
     m.num_nerf_samples_per_ray = 8
     m.log2_hashmap_size = 9
     m.max_res = 32
+    # compile-time shrinkers (the scan program replays the step body twice —
+    # once straight-line, once as a scan — so op count matters double here)
+    m.num_levels = 4
+    m.hidden_dim = 8
+    m.hidden_dim_color = 8
+    m.occ_num_probes = 16
+    m.occ_grid_resolution = 32
+    m.occ_cells_per_update = 4096
+    m.use_appearance_embedding = False
     # exercise the anneal + update-gate schedules inside the window
     m.proposal_warmup = 2
     m.proposal_update_every = 2

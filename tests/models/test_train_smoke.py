@@ -37,6 +37,19 @@ def _shrink(config):
         ("hidden_dim", 8),
         ("hidden_dim_color", 8),
         ("eval_num_rays_per_chunk", 64),
+        # compile-time shrinkers: CPU XLA compile scales with program op
+        # count — unrolled per-level hash code, probe counts, occupancy
+        # update size, and SDF upsample rounds dominate the cold suite
+        ("num_levels", 4),
+        ("occ_num_probes", 16),
+        ("occ_grid_resolution", 32),
+        ("occ_cells_per_update", 4096),
+        ("grid_resolution", 32),
+        ("num_probes", 16),
+        ("num_upsample_steps", 2),
+        ("num_samples", 8),
+        ("num_samples_importance", 8),
+        ("num_samples_outside", 4),
     ]:
         if hasattr(m, attr):
             setattr(m, attr, val)

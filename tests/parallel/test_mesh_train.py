@@ -60,6 +60,10 @@ def test_mesh_train_step_runs_and_shards(blender_dir, tmp_path):
     m.max_res = 64
     m.hidden_dim = 8
     m.hidden_dim_color = 8
+    m.num_levels = 4
+    m.occ_num_probes = 16
+    m.occ_grid_resolution = 32
+    m.occ_cells_per_update = 4096
 
     pipeline, state, config = build_pipeline(config, use_mesh=True)
     assert pipeline.mesh is not None, "mesh must be active on the 8-device CPU config"

@@ -219,7 +219,13 @@ def render(c2w: np.ndarray, hw: int, focal: float, transient=None):
         rgb = np.where(occ[..., None], np.clip(tcol * (0.3 + 0.7 * lam_o)[..., None], 0, 1), rgb)
         alpha = np.where(occ, 1.0, alpha)
         occ_mask = occ
-    img = (np.concatenate([rgb, alpha[..., None]], axis=-1) * 255).astype(np.uint8)
+    # RGB only, background pre-composited — a real capture has no alpha.
+    # Alpha GT + background_color="last_sample" made empty space UNSUPERVISED
+    # at train (the loss blends GT over the rendered background) yet
+    # black-blended at eval: the model freely renders noise there and the
+    # gate collapses (measured 10.4 PSNR on `basic` while the foreground was
+    # perfect — r3 gate debugging, /tmp/gate_imgs).
+    img = (rgb * 255).astype(np.uint8)
     return img, occ_mask
 
 
