@@ -324,7 +324,7 @@ class Viewer:
         return self.control.max_resolution
 
     # -- shared render entry (also used by the render panel) -----------------
-    def render_view(self, cam, res: int) -> np.ndarray:
+    def render_view(self, cam, res: int, preview: bool = False) -> np.ndarray:
         """Render one camera -> (res, res, 3) float rgb in [0,1], applying the
         control panel's output/colormap/crop/background/time settings
         (reference control_panel.py output selection + colormap options)."""
@@ -379,6 +379,7 @@ class Viewer:
             out = self.pipeline.render_camera(
                 state.params, cam, 0, chunk_size=res * res,
                 aux=getattr(state, "aux", None),
+                preview=preview,
             )
         sel = ctl.output_type
         if sel == "depth" and "depth" in out:
@@ -428,7 +429,11 @@ class Viewer:
             )
             try:
                 t0 = time.perf_counter()
-                rgb = self.render_view(cam, res)
+                # stochastic-trilerp preview while moving/refining (2.4x
+                # faster chunks); the final HIGH pass renders exact
+                rgb = self.render_view(
+                    cam, res, preview=self.render_state != RenderState.HIGH
+                )
                 dt = time.perf_counter() - t0
                 frame = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
                 if self.control.show_cameras:

@@ -7,8 +7,15 @@ consistent real geometry — meaningful for convergence gates (PSNR/SSIM on
 held-out views), unlike random-pixel fixtures.
 
 Scene variants (--scene) for the convergence gate matrix (VERDICT r1 #1):
-  basic     — checkerboard disc + 4 spheres, white bg (the round-1 scene)
-  unbounded — same center objects + a ring of distant boulders + a 25-unit
+  basic     — checkerboard disc + 4 spheres inside a richly textured dome
+              (radius 16): every ray terminates on content, like a capture —
+              void backgrounds make background_color="last_sample" methods
+              grow unsupervised fog (r3 gate debugging)
+  blender   — the classic blender protocol: white background, RGBA with
+              alpha, transforms_{train,val,test}.json — for the
+              blender-format methods (vanilla-nerf/mipnerf/tensorf/...)
+              whose near/far and white-blend assume it
+  unbounded — center objects + a ring of distant boulders + a 25-unit
               ground + direction-dependent sky: content far outside the unit
               box, exercising SceneContraction (no round-1 quality run did)
   distorted — basic geometry rendered through OpenCV radial distortion
@@ -40,14 +47,16 @@ SPHERES = list(BASIC_SPHERES)
 LIGHT = np.array([1.5, -1.0, 2.5])
 GROUND_Z = 0.0
 PLANE_R = 1.1  # ground disc radius
-SKY = False  # direction-dependent sky instead of white bg (unbounded scene)
+SKY = False  # direction-dependent sky at infinity (unbounded scene)
+DOME_R = None  # finite textured dome radius (basic family)
+ALPHA = False  # write RGBA with hit alpha (blender protocol only)
 DISTORTION = None  # (k1, k2) OpenCV radial distortion of the rendered images
 
 
 def set_scene(name: str) -> None:
-    global SPHERES, PLANE_R, SKY, DISTORTION
+    global SPHERES, PLANE_R, SKY, DOME_R, ALPHA, DISTORTION
     SPHERES = list(BASIC_SPHERES)
-    PLANE_R, SKY, DISTORTION = 1.1, False, None
+    PLANE_R, SKY, DOME_R, ALPHA, DISTORTION = 1.1, False, 16.0, False, None
     if name == "unbounded":
         # ring of distant boulders (checker so distant texture is learnable)
         for k in range(8):
@@ -55,7 +64,10 @@ def set_scene(name: str) -> None:
             c = np.array([8.0 * np.cos(th), 8.0 * np.sin(th), 1.0])
             col = np.array([0.55 + 0.3 * np.cos(th), 0.45, 0.55 + 0.3 * np.sin(th)])
             SPHERES.append((c, 1.4, np.clip(col, 0.1, 0.9), np.array([0.9, 0.85, 0.75])))
-        PLANE_R, SKY = 25.0, True
+        PLANE_R, SKY, DOME_R = 25.0, True, None
+    elif name == "blender":
+        DOME_R = None  # white void + alpha: the classic blender protocol
+        ALPHA = True
     elif name == "distorted":
         DISTORTION = (-0.18, 0.04)
     elif name not in ("basic", "masked"):
@@ -119,6 +131,38 @@ def _shadowed(p):
         t = _sphere_hit(p + 1e-4 * d, d, center, radius)
         sh |= t < dist[..., 0]
     return sh
+
+
+def _dome_color_at(p: np.ndarray) -> np.ndarray:
+    """Color of a point on the dome (position-keyed => multi-view consistent):
+    a vertical gradient with two checker frequencies and a hue stripe — RICH
+    texture on purpose. A near-featureless dome makes SSIM collapse under
+    tiny model noise (flat GT => the structure term is noise/(noise+c2));
+    real capture surroundings are textured, so the gate's should be too."""
+    u = p / DOME_R
+    z = np.clip(u[..., 2], -1.0, 1.0)
+    zc = (z + 1.0) / 2.0
+    az = np.arctan2(u[..., 1], u[..., 0])
+    pol = np.arccos(z)
+    base = (1 - zc[..., None]) * np.array([0.62, 0.55, 0.5]) + zc[..., None] * np.array(
+        [0.4, 0.5, 0.75]
+    )
+    coarse = (np.floor(4 * az / np.pi) + np.floor(5 * pol / np.pi)) % 2
+    fine = (np.floor(16 * az / np.pi) + np.floor(20 * pol / np.pi)) % 2
+    stripe = 0.5 + 0.5 * np.sin(7.0 * az + 3.0 * pol)
+    col = base * (0.55 + 0.45 * coarse[..., None])
+    col = col * (0.8 + 0.2 * fine[..., None])
+    col[..., 0] = col[..., 0] * (0.75 + 0.25 * stripe)
+    return np.clip(col, 0.0, 1.0)
+
+
+def _dome_color_dirs(o: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Dome color for rays (o, d) that missed everything (camera is inside)."""
+    b = np.sum(o * d, axis=-1)
+    c = np.sum(o * o, axis=-1) - DOME_R**2
+    t = -b + np.sqrt(np.maximum(b * b - c, 0.0))
+    p = o + d * t[..., None]
+    return _dome_color_at(p)
 
 
 def _undistort_coords(x, y, k1, k2, iters=12):
@@ -205,6 +249,13 @@ def render(c2w: np.ndarray, hw: int, focal: float, transient=None):
         sky = (1 - z) * np.array([0.9, 0.75, 0.6]) + z * np.array([0.35, 0.55, 0.95])
         rgb = np.where(hit[..., None], rgb, sky)
         alpha = np.ones(hit.shape)
+    elif DOME_R is not None:
+        # finite textured dome: every ray terminates on real, multi-view-
+        # consistent, SEEDABLE content (real-capture emulation; white voids
+        # destabilize background_color="last_sample" methods and give splats
+        # nothing to grow on)
+        rgb = np.where(hit[..., None], rgb, _dome_color_dirs(o, d))
+        alpha = np.ones(hit.shape)
     else:
         rgb = np.where(hit[..., None], rgb, 1.0)  # white background
         alpha = hit.astype(float)
@@ -219,13 +270,14 @@ def render(c2w: np.ndarray, hw: int, focal: float, transient=None):
         rgb = np.where(occ[..., None], np.clip(tcol * (0.3 + 0.7 * lam_o)[..., None], 0, 1), rgb)
         alpha = np.where(occ, 1.0, alpha)
         occ_mask = occ
-    # RGB only, background pre-composited — a real capture has no alpha.
-    # Alpha GT + background_color="last_sample" made empty space UNSUPERVISED
-    # at train (the loss blends GT over the rendered background) yet
-    # black-blended at eval: the model freely renders noise there and the
-    # gate collapses (measured 10.4 PSNR on `basic` while the foreground was
-    # perfect — r3 gate debugging, /tmp/gate_imgs).
-    img = (rgb * 255).astype(np.uint8)
+    # RGB by default — a real capture has no alpha. (Alpha GT +
+    # background_color="last_sample" leaves empty space unsupervised at train
+    # yet black-blended at eval; the blender protocol scene keeps RGBA
+    # because its methods white-blend through the parser.)
+    if ALPHA:
+        img = (np.concatenate([rgb, alpha[..., None]], axis=-1) * 255).astype(np.uint8)
+    else:
+        img = (rgb * 255).astype(np.uint8)
     return img, occ_mask
 
 
@@ -256,9 +308,10 @@ def sample_surface_points(n_points: int, rng) -> tuple:
     """(points (N,3), colors uint8 (N,3)) on the scene surfaces — the
     SfM-seed-point analog for splatfacto."""
     pts, cols = [], []
+    n_dome = n_points // 4 if DOME_R is not None else 0
     areas = [4 * np.pi * r**2 for _, r, _, _ in SPHERES] + [np.pi * PLANE_R**2]
     probs = np.asarray(areas) / np.sum(areas)
-    for _ in range(n_points):
+    for _ in range(n_points - n_dome):
         k = rng.choice(len(probs), p=probs)
         if k < len(SPHERES):
             center, radius, _, _ = SPHERES[k]
@@ -273,6 +326,13 @@ def sample_surface_points(n_points: int, rng) -> tuple:
             n = np.array([0.0, 0, 1])
         pts.append(p)
         cols.append((_surface_color(p, n) * 255).astype(np.uint8))
+    for _ in range(n_dome):
+        # dome seed points so splat growth has background geometry to refine
+        v = rng.normal(size=3)
+        v /= np.linalg.norm(v)
+        p = DOME_R * v
+        pts.append(p)
+        cols.append((np.clip(_dome_color_at(p), 0, 1) * 255).astype(np.uint8))
     return np.asarray(pts, np.float32), np.asarray(cols, np.uint8)
 
 
@@ -286,7 +346,7 @@ def main() -> None:
     ap.add_argument("--n-points", type=int, default=30000,
                     help="surface seed points written to points3D.ply")
     ap.add_argument("--scene", default="basic",
-                    choices=("basic", "unbounded", "distorted", "masked"))
+                    choices=("basic", "blender", "unbounded", "distorted", "masked"))
     args = ap.parse_args()
     set_scene(args.scene)
 

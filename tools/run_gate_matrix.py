@@ -55,7 +55,7 @@ BLENDER_METHODS = {"vanilla-nerf", "mipnerf", "dnerf", "tensorf", "instant-ngp",
 
 
 def make_scenes(root: Path, hw: int, n_train: int, n_test: int) -> None:
-    for scene in ("basic", "unbounded", "distorted", "masked"):
+    for scene in ("basic", "blender", "unbounded", "distorted", "masked"):
         out = root / scene
         if (out / "transforms.json").exists():
             print(f"{out} exists, skipping")
@@ -85,6 +85,12 @@ def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path
             BlenderDataParserConfig,
         )
 
+        if scene == "basic" and (scene_dir.parent / "blender").exists():
+            # blender-format methods run the classic white-bg RGBA protocol
+            # scene; `basic` (textured dome) targets the nerfstudio-parser
+            # methods whose defaults assume content on every ray
+            scene_dir = scene_dir.parent / "blender"
+            scene = "blender"
         config.dataparser = BlenderDataParserConfig(data=scene_dir)
     else:
         from nerfstudio_tpu.data.dataparsers.nerfstudio_dataparser import (
