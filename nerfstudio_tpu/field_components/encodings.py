@@ -208,7 +208,11 @@ class HashEncoding(Encoding):
             ),
         )
 
-    def __call__(self, in_tensor: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, in_tensor: jnp.ndarray, bwd_levels=None, bwd_scale: float = 1.0
+    ) -> jnp.ndarray:
+        # bwd_levels/bwd_scale: static level-subsampled table backward
+        # (block train path only — see ops/hash_grid.hash_encode)
         return hash_encode(
             in_tensor,
             self.hash_table,
@@ -221,6 +225,8 @@ class HashEncoding(Encoding):
             z_pair=self.z_pair,
             block=self.block,
             block_exact=self.block_exact,
+            bwd_levels=bwd_levels,
+            bwd_scale=bwd_scale,
         )
 
 

@@ -129,7 +129,9 @@ class MLPWithHashEncoding(nn.Module):
         return self.out_dim if self.out_dim is not None else self.layer_width
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, bwd_levels=None, bwd_scale: float = 1.0
+    ) -> jnp.ndarray:
         encoding = HashEncoding(
             num_levels=self.num_levels,
             min_res=self.min_res,
@@ -164,6 +166,10 @@ class MLPWithHashEncoding(nn.Module):
         # (128, H) folded weights (gradients flow to W1/b1 through that
         # application).
         if self.fused_first_layer and self.block and not self.block_exact:
+            assert bwd_levels is None, (
+                "level-subsampled backward is unsupported on the fused "
+                "first-layer path (opt-in; disable one of the two)"
+            )
             from nerfstudio_tpu.ops.hash_grid import (
                 _proj_level_np,
                 _row_gather_block_mm,
@@ -202,4 +208,4 @@ class MLPWithHashEncoding(nn.Module):
                 return h1.reshape(batch_shape + (h1.shape[-1],))
 
             return mlp(x, first_layer_apply=first_layer_apply)
-        return mlp(encoding(x))
+        return mlp(encoding(x, bwd_levels=bwd_levels, bwd_scale=bwd_scale))

@@ -52,10 +52,11 @@ class Field(nn.Module):
         return density
 
     def __call__(
-        self, ray_samples: RaySamples, compute_normals: bool = False
+        self, ray_samples: RaySamples, compute_normals: bool = False, **density_kwargs
     ) -> Dict[FieldHeadNames, jnp.ndarray]:
         """Evaluate density + heads; optionally normals = -∇σ/|∇σ|
-        (reference base_field.py:81-133)."""
+        (reference base_field.py:81-133). ``density_kwargs`` are forwarded to
+        ``get_density`` (e.g. nerfacto's static ``bwd_levels`` gate)."""
         if compute_normals:
             positions = ray_samples.frustums.get_positions()
 
@@ -67,7 +68,7 @@ class Field(nn.Module):
                         ends=jnp.zeros_like(pos[..., :1]),
                     )
                 )
-                d, emb = self.get_density(rs)
+                d, emb = self.get_density(rs, **density_kwargs)
                 return jnp.sum(d), (d, emb)
 
             grads, (density, density_embedding) = jax.grad(density_of, has_aux=True)(positions)
@@ -75,7 +76,7 @@ class Field(nn.Module):
                 jnp.linalg.norm(grads, axis=-1, keepdims=True), 1e-10
             )
         else:
-            density, density_embedding = self.get_density(ray_samples)
+            density, density_embedding = self.get_density(ray_samples, **density_kwargs)
             normals = None
 
         field_outputs = self.get_outputs(ray_samples, density_embedding=density_embedding)

@@ -131,8 +131,9 @@ class NerfactoField(Field):
         density = self.average_init_density * trunc_exp(h[..., :1].astype(jnp.float32))
         return density * selector
 
-    def get_density(self, ray_samples: RaySamples):
-        """(reference nerfacto_field.py:203-232)"""
+    def get_density(self, ray_samples: RaySamples, bwd_levels=None, bwd_scale: float = 1.0):
+        """(reference nerfacto_field.py:203-232). ``bwd_levels``/``bwd_scale``:
+        static level-subsampled table backward (ops/hash_grid.hash_encode)."""
         positions = ray_samples.frustums.get_positions()
         if not self.disable_scene_contraction:
             positions = SceneContraction(order="inf")(positions)
@@ -143,7 +144,7 @@ class NerfactoField(Field):
             )
         selector = jnp.all((positions > 0.0) & (positions < 1.0), axis=-1, keepdims=True)
         positions = positions * selector
-        h = self.mlp_base(positions)
+        h = self.mlp_base(positions, bwd_levels=bwd_levels, bwd_scale=bwd_scale)
         density_before, geo_feat = h[..., :1].astype(jnp.float32), h[..., 1:]
         density = self.average_init_density * trunc_exp(density_before)
         density = density * selector

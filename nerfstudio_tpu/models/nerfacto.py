@@ -137,6 +137,20 @@ class NerfactoModelConfig(ModelConfig):
     # the train-path one-gather stochastic trilerp at eval — the fast viewer
     # "preview" mode (~8x less field gather traffic, slight per-pixel noise).
     eval_exact_trilerp: bool = True
+    # Level-subsampled FIELD table backward: each step only levels
+    # {l : l % P == step % P} receive table gradients (grad x P for
+    # unbiasedness over the P-step cycle); the other levels' backward
+    # scatters — the train step's dominant serial cost (PERF.md) — are
+    # statically dead. 0 disables (full backward every step). Requires
+    # field_block. Quality-gated before default-on (benchmarks/).
+    field_bwd_level_period: int = 0
+    # full backward during early training (the coarse levels build global
+    # structure in the first few hundred steps); gating starts after this
+    field_bwd_level_warmup: int = 512
+    # stop updating proposal nets after this step (0 = never): proposal
+    # placement converges early, and the every-5th-step proposal-grad
+    # program costs +27 ms (PERF.md round-2 attribution)
+    proposal_freeze_after: int = 0
     average_init_density: float = 0.01
     camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "SO3xR3"
     # pin the 6-DoF pose-opt gauge by centering the tangent table (see
@@ -238,6 +252,8 @@ class NerfactoModel(Model):
         key: Optional[jax.Array] = None,
         anneal: float = 1.0,
         update_proposals: bool = True,
+        field_bwd_levels=None,
+        field_bwd_scale: float = 1.0,
         model_aux=None,
         **kwargs,
     ):
@@ -311,7 +327,11 @@ class NerfactoModel(Model):
             update_proposals=update_proposals,
         )
 
-        field_outputs = self.field(ray_samples, compute_normals=cfg.predict_normals)
+        field_outputs = self.field(
+            ray_samples, compute_normals=cfg.predict_normals,
+            bwd_levels=field_bwd_levels if self.train else None,
+            bwd_scale=field_bwd_scale,
+        )
         weights = ray_samples.get_weights(field_outputs[FieldHeadNames.DENSITY])
         weights_list = weights_list + [weights]
         ray_samples_list = ray_samples_list + [ray_samples]
@@ -517,6 +537,15 @@ class NerfactoModel(Model):
             )
         )
         kwargs["update_proposals"] = step < config.proposal_warmup or step % every == 0
+        if config.proposal_freeze_after and step >= config.proposal_freeze_after:
+            kwargs["update_proposals"] = False
+        P = config.field_bwd_level_period
+        if P and step >= config.field_bwd_level_warmup:
+            L = config.num_levels
+            kwargs["field_bwd_levels"] = tuple(
+                l for l in range(L) if l % P == step % P
+            )
+            kwargs["field_bwd_scale"] = float(P)
         return kwargs
 
     @staticmethod

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -521,6 +521,25 @@ def _row_gather_block_tw_oh_bwd(f, s_eff, res, g):
 _row_gather_block_tw_oh.defvjp(_row_gather_block_tw_oh_fwd, _row_gather_block_tw_oh_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _grad_scale(x, c: float):
+    """Identity forward; backward multiplies the cotangent by the static
+    ``c``. Used by the level-subsampled backward to keep the expected table
+    gradient unbiased (active levels carry x(cycle period))."""
+    return x
+
+
+def _grad_scale_fwd(x, c):
+    return x, None
+
+
+def _grad_scale_bwd(c, _, g):
+    return (g * c,)
+
+
+_grad_scale.defvjp(_grad_scale_fwd, _grad_scale_bwd)
+
+
 def _block_level_rows_used(res: int, hash_table_size: int, f: int):
     """Static occupied-row extent of a DENSE block level, or None if hashed
     (hashed levels spread over the whole table)."""
@@ -729,6 +748,8 @@ def _hash_corner(cx, cy, cz, hash_table_size):
         "z_pair",
         "block",
         "block_exact",
+        "bwd_levels",
+        "bwd_scale",
     ),
 )
 def hash_encode(
@@ -744,12 +765,25 @@ def hash_encode(
     z_pair: bool = False,
     block: bool = False,
     block_exact: bool = False,
+    bwd_levels: Optional[Tuple[int, ...]] = None,
+    bwd_scale: float = 1.0,
 ) -> jnp.ndarray:
     """Encode positions in [0,1]^3.
 
     positions: (..., 3); table: (num_levels, S, 128) row-packed
     (see init_hash_table). Returns (..., num_levels * F) float32, channel
-    order out[..., l*F + f] (matches tcnn/reference)."""
+    order out[..., l*F + f] (matches tcnn/reference).
+
+    ``bwd_levels`` (block train path only): STATIC tuple of level indices
+    that receive table gradients this step; the rest run a gradient-free
+    forward (``stop_gradient`` on their table slice, so XLA dead-code-
+    eliminates their backward scatter entirely — the scatter is the train
+    step's dominant serial cost, PERF.md). Active levels' table grads are
+    scaled by the static ``bwd_scale`` (= the round-robin cycle period) so
+    the EXPECTED gradient over a cycle is unbiased — the same
+    sparser-but-larger-Adam-updates regime as the corner-subsampled backward
+    (PERF.md round-2). Trilerp-weight (pose) gradients stay exact on every
+    level."""
     L, S, lanes = table.shape
     assert L == num_levels and lanes == 128
     # recover F from S: S = T // (128 // F)  =>  F = 128 * S // T
@@ -778,11 +812,20 @@ def hash_encode(
         out = None
         resolutions_b = compute_level_resolutions(num_levels, min_res, max_res)
         for l, (rows, slot, w8) in enumerate(geom):
+            tab_l = table[l]
+            if bwd_levels is not None:
+                if l in bwd_levels:
+                    tab_l = _grad_scale(tab_l, float(bwd_scale))
+                else:
+                    # gradient-free forward: the level's backward scatter is
+                    # statically dead and XLA eliminates it (w8/pose grads
+                    # still flow through the op's dw8 path)
+                    tab_l = jax.lax.stop_gradient(tab_l)
             s_eff = _block_level_rows_used(int(resolutions_b[l]), hash_table_size, F)
             if s_eff is not None and s_eff <= _ONEHOT_BWD_MAX_ROWS:
-                feats = _row_gather_block_tw_oh(table[l], rows, slot, w8, F, s_eff)
+                feats = _row_gather_block_tw_oh(tab_l, rows, slot, w8, F, s_eff)
             else:
-                feats = _row_gather_block_tw(table[l], rows, slot, w8, F)
+                feats = _row_gather_block_tw(tab_l, rows, slot, w8, F)
             part = jax.lax.pad(
                 feats, jnp.zeros((), feats.dtype), [(0, 0, 0), (l * F, (L - 1 - l) * F, 0)]
             )

@@ -112,7 +112,14 @@ class VanillaPipeline:
         mesh = self.mesh
         tx = self.tx
 
-        @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("update_proposals",))
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(0,),
+            # static gates: each distinct combination compiles one program
+            # variant (update_proposals: 2; field_bwd_levels: the round-robin
+            # cycle's P tuples) — all cached after the first epoch of steps
+            static_argnames=("update_proposals", "field_bwd_levels", "field_bwd_scale"),
+        )
         def train_step(
             state: TrainState,
             images: jnp.ndarray,
@@ -120,6 +127,8 @@ class VanillaPipeline:
             resident_map: Optional[jnp.ndarray] = None,
             anneal: float = 1.0,
             update_proposals: bool = True,
+            field_bwd_levels: Optional[Tuple[int, ...]] = None,
+            field_bwd_scale: float = 1.0,
             cosine_anneal: float = 1.0,
             depth_sigma: float = 0.01,
         ):
@@ -136,6 +145,8 @@ class VanillaPipeline:
                     key=k_model,
                     anneal=anneal,
                     update_proposals=update_proposals,
+                    field_bwd_levels=field_bwd_levels,
+                    field_bwd_scale=field_bwd_scale,
                     cosine_anneal=cosine_anneal,
                     model_aux=state.aux,
                 )

@@ -209,3 +209,42 @@ def test_nerfacto_block_mode_smoke(blender_dir, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
     metrics, images = pipeline.get_eval_image_metrics_and_images(state, 0, chunk_size=64)
     assert np.isfinite(metrics["psnr"])
+
+
+def test_nerfacto_level_gated_backward_smoke(blender_dir, tmp_path):
+    """field_bwd_level_period: static round-robin level gating trains with a
+    finite loss across a full gate cycle, step_kwargs emits the expected
+    static tuples (warmup -> full backward), and proposal_freeze_after turns
+    the proposal-update gate off."""
+    from nerfstudio_tpu.models.nerfacto import NerfactoModel
+
+    config = get_method("nerfacto")
+    from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+
+    config.dataparser = BlenderDataParserConfig(data=blender_dir)
+    config.data = blender_dir
+    config.trainer.output_dir = tmp_path / "outputs"
+    config = _shrink(config)
+    config.model.field_bwd_level_period = 2
+    config.model.field_bwd_level_warmup = 1
+    config.model.proposal_freeze_after = 3
+
+    kw0 = NerfactoModel.step_kwargs(0, config.model)
+    assert "field_bwd_levels" not in kw0  # warmup: full backward
+    kw1 = NerfactoModel.step_kwargs(1, config.model)
+    L = config.model.num_levels
+    assert kw1["field_bwd_levels"] == tuple(l for l in range(L) if l % 2 == 1)
+    assert kw1["field_bwd_scale"] == 2.0
+    kw2 = NerfactoModel.step_kwargs(2, config.model)
+    assert kw2["field_bwd_levels"] == tuple(l for l in range(L) if l % 2 == 0)
+    assert NerfactoModel.step_kwargs(4, config.model)["update_proposals"] is False
+
+    pipeline, state, config = build_pipeline(config, use_mesh=False)
+    key = jax.random.PRNGKey(0)
+    for step in range(4):
+        key, k = jax.random.split(key)
+        state, metrics = pipeline.train_step(
+            state, pipeline.datamanager.train_images, k,
+            **NerfactoModel.step_kwargs(step, config.model),
+        )
+    assert np.isfinite(float(metrics["loss"]))

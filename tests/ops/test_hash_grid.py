@@ -305,3 +305,42 @@ def test_block_position_grads_flow():
     )(pos)
     assert np.isfinite(np.asarray(gp)).all()
     assert float(jnp.abs(gp).sum()) > 0
+
+
+def test_level_gated_backward():
+    """Static level-subsampled backward (bwd_levels/bwd_scale): the forward
+    is bit-identical, skipped levels get exactly zero table gradient, active
+    levels get the full gradient x bwd_scale, position (trilerp-weight)
+    gradients keep flowing on EVERY level, and a full round-robin cycle sums
+    to cycle_period x the ungated gradient (unbiasedness)."""
+    L, T, F = 4, 2**12, 4
+    table = init_hash_table(jax.random.PRNGKey(0), L, T, F, scale=0.1)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=0.05, maxval=0.95)
+    kw = dict(num_levels=L, min_res=16, max_res=256, hash_table_size=T, block=True)
+
+    def loss(tab, p, bl=None, sc=1.0):
+        out = hash_encode(p, tab, **kw, bwd_levels=bl, bwd_scale=sc)
+        return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+    o_full = hash_encode(pos, table, **kw)
+    o_gate = hash_encode(pos, table, **kw, bwd_levels=(0, 2), bwd_scale=2.0)
+    assert np.array_equal(np.asarray(o_full), np.asarray(o_gate))
+
+    g_full = np.asarray(jax.grad(loss)(table, pos))
+    g_gate = np.asarray(jax.grad(lambda t: loss(t, pos, (0, 2), 2.0))(table))
+    for l in range(L):
+        if l in (0, 2):
+            np.testing.assert_allclose(g_gate[l], 2.0 * g_full[l], rtol=1e-6)
+        else:
+            assert np.all(g_gate[l] == 0.0), f"level {l} table grad leaked"
+
+    # position grads (the camera-opt pose path) stay EXACT under gating
+    gp_full = np.asarray(jax.grad(loss, argnums=1)(table, pos))
+    gp_gate = np.asarray(
+        jax.grad(lambda t, p: loss(t, p, (0, 2), 2.0), argnums=1)(table, pos)
+    )
+    np.testing.assert_allclose(gp_gate, gp_full, rtol=1e-6)
+
+    # unbiasedness over one period-2 round-robin cycle
+    g1 = np.asarray(jax.grad(lambda t: loss(t, pos, (1, 3), 2.0))(table))
+    np.testing.assert_allclose(g_gate + g1, 2.0 * g_full, rtol=1e-6)
