@@ -63,6 +63,18 @@ def main() -> None:
     cfg, dm, model_train, model_eval = _synthetic_setup(
         hw=128, n_images=16, rays=rays_per_batch, tiny=False
     )
+    if os.environ.get("NST_BENCH_LVL_PERIOD") or os.environ.get("NST_BENCH_PROP_FREEZE"):
+        # measure the level-subsampled backward / proposal freeze BEFORE
+        # flipping their defaults (both flow through step_kwargs)
+        cfg.model.field_bwd_level_period = int(os.environ.get("NST_BENCH_LVL_PERIOD", "0"))
+        cfg.model.field_bwd_level_warmup = 0
+        if os.environ.get("NST_BENCH_PROP_FREEZE"):
+            cfg.model.proposal_freeze_after = int(os.environ["NST_BENCH_PROP_FREEZE"])
+        from nerfstudio_tpu.models.nerfacto import NerfactoModel as _NM
+
+        aabb = ((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+        model_train = _NM(config=cfg.model, scene_aabb=aabb, num_train_data=16, train=True)
+        model_eval = _NM(config=cfg.model, scene_aabb=aabb, num_train_data=16, train=False)
     if (
         os.environ.get("NST_BENCH_Z_PAIR")
         or os.environ.get("NST_BENCH_BLOCK")

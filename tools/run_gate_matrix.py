@@ -208,6 +208,18 @@ def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path
 
 
 def main() -> None:
+    # TPU-backend-init watchdog: the tunneled runtime can hang FOREVER on a
+    # transient handshake race (observed r3: cell blocked 30 min at 0 CPU in
+    # the axon client before any step ran). Abort loudly instead so the
+    # matrix driver moves on / retries.
+    import faulthandler
+
+    faulthandler.dump_traceback_later(180, exit=True)
+    import jax
+
+    jax.devices()
+    faulthandler.cancel_dump_traceback_later()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("method", nargs="?")
     ap.add_argument("--make-scenes", type=Path, default=None)
