@@ -16,6 +16,13 @@ offline build, so there are two modes:
 
 Use ``tools/convert_lpips_weights.py`` (requires torch + torchvision + lpips
 with network access) to produce the npz.
+
+Fallback validation (``tools/validate_lpips.py`` ->
+``benchmarks/lpips_validation.json``): perfect per-family monotonicity
+(Spearman rho = 1.0 over noise/blur/contrast/block/quantize x 5 strengths x
+3 texture classes), pooled rho 0.90 vs (1-SSIM) / 0.83 vs MSE, and a
+matched-MSE shift-vs-noise ratio < 1 (the deep-feature hallmark pointwise
+metrics lack).
 """
 
 from __future__ import annotations
