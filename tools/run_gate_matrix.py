@@ -217,6 +217,12 @@ def main() -> None:
     faulthandler.dump_traceback_later(180, exit=True)
     import jax
 
+    # persistent compile cache shared across cells: the same method re-runs
+    # on several same-shape scenes (basic/distorted/masked at one res), and
+    # cell 1 measured 239 s of training inside a 966 s run — the rest was
+    # mostly XLA compiles repeated per process
+    jax.config.update("jax_compilation_cache_dir", "/tmp/xla_cache_gate")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.devices()
     faulthandler.cancel_dump_traceback_later()
 
