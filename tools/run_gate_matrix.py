@@ -224,7 +224,10 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/xla_cache_gate")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.devices()
-    faulthandler.cancel_dump_traceback_later()
+    # re-arm as a periodic hang self-diagnosis: if a tunnel RPC stalls
+    # mid-train (observed r3: cells freeze at ~0 CPU with the connection
+    # alive), a Python traceback lands in the log every 20 min
+    faulthandler.dump_traceback_later(1200, repeat=True)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("method", nargs="?")
