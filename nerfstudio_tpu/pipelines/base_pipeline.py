@@ -243,12 +243,34 @@ class VanillaPipeline:
         return self._train_step(state, images, key, **step_kwargs)
 
     # ------------------------------------------------------------------
+    def _eval_background(self) -> Optional[jnp.ndarray]:
+        """Protocol background for eval renders.
+
+        When the dataset pre-blends RGBA GT onto the dataparser's
+        ``alpha_color`` at load (the blender white-bg protocol,
+        datasets.get_image_float32), held-out predictions MUST composite onto
+        that same color — otherwise void pixels score pred-on-black vs
+        gt-on-white and a converged model reports PSNR ~4 (reference
+        renderers.py:42-57 BACKGROUND_COLOR_OVERRIDE serves this role)."""
+        ds = getattr(self.datamanager, "eval_dataset", None)
+        dpo = getattr(ds, "_dataparser_outputs", None)
+        return getattr(dpo, "alpha_color", None)
+
     def build_eval_chunk(self) -> Callable:
         model = self.model_eval
+        bg_override = self._eval_background()
 
         @jax.jit
         def eval_chunk(params, ray_bundle, aux=None):
-            out = model.apply(params, ray_bundle, key=None, model_aux=aux)
+            if bg_override is not None:
+                from nerfstudio_tpu.model_components.renderers import (
+                    background_color_override_context,
+                )
+
+                with background_color_override_context(jnp.asarray(bg_override)):
+                    out = model.apply(params, ray_bundle, key=None, model_aux=aux)
+            else:
+                out = model.apply(params, ray_bundle, key=None, model_aux=aux)
             return {k: v for k, v in out.items() if isinstance(v, jnp.ndarray)}
 
         self._eval_chunk = eval_chunk
@@ -269,10 +291,19 @@ class VanillaPipeline:
         model = self.model_eval.clone(
             config=dc.replace(copy.deepcopy(cfg), eval_exact_trilerp=False)
         )
+        bg_override = self._eval_background()
 
         @jax.jit
         def eval_chunk_preview(params, ray_bundle, aux=None):
-            out = model.apply(params, ray_bundle, key=None, model_aux=aux)
+            if bg_override is not None:
+                from nerfstudio_tpu.model_components.renderers import (
+                    background_color_override_context,
+                )
+
+                with background_color_override_context(jnp.asarray(bg_override)):
+                    out = model.apply(params, ray_bundle, key=None, model_aux=aux)
+            else:
+                out = model.apply(params, ray_bundle, key=None, model_aux=aux)
             return {k: v for k, v in out.items() if isinstance(v, jnp.ndarray)}
 
         self._eval_chunk_preview = eval_chunk_preview

@@ -1,0 +1,73 @@
+"""End-to-end quality regression for instant-ngp on the white-background
+blender protocol (reference tests/test_nerfacto_integration.py:51-86 gate
+pattern, scaled to a tiny fixture).
+
+Guards the r3 shipped-defaults failure (benchmarks/gate_instant_ngp_blender
+PSNR 3.41): GT is pre-blended onto the dataparser's alpha_color (white) at
+load, so eval predictions must composite onto that SAME color. A black-bg
+eval render of a converged model scores PSNR ~4 on this protocol — the
+existing test_instant_ngp.py checks occupancy mechanics, not end-to-end
+quality, and missed it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from tests.fixtures import make_blender_fixture
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    return make_blender_fixture(tmp_path_factory.mktemp("blender"), n_train=6, n_val=2, hw=24)
+
+
+def _tiny(cfg):
+    m = cfg.model
+    m.log2_hashmap_size = 12
+    m.max_res = 128
+    m.num_coarse_probes = 32
+    m.num_samples_per_ray = 24
+    m.grid_resolution = 32
+    m.grid_warmup_steps = 50
+    cfg.datamanager.train_num_rays_per_batch = 512
+    return cfg
+
+
+def test_instant_ngp_blender_protocol_quality(blender_dir):
+    """Train ~400 steps on the RGBA/white fixture; eval PSNR must clear a
+    floor no black-vs-white background mismatch can reach."""
+    from nerfstudio_tpu.configs.method_configs import get_method
+    from nerfstudio_tpu.data.dataparsers.blender_dataparser import BlenderDataParserConfig
+    from nerfstudio_tpu.pipelines.factory import build_pipeline
+
+    cfg = _tiny(get_method("instant-ngp"))
+    cfg.dataparser = BlenderDataParserConfig(data=blender_dir)
+    cfg.data = blender_dir
+
+    pipeline, state, cfg = build_pipeline(cfg, use_mesh=False)
+    key = jax.random.PRNGKey(0)
+    aux_hook = pipeline.aux_update_fn
+    for step in range(400):
+        key, k_aux, k = jax.random.split(key, 3)
+        if aux_hook is not None:
+            state = aux_hook(state, step, k_aux)
+        state, m = pipeline.train_step(state, pipeline.datamanager.train_images, k)
+    assert np.isfinite(float(m["loss"]))
+
+    metrics, images = pipeline.get_eval_image_metrics_and_images(state, 0, chunk_size=1 << 12)
+    # a correct model on this trivial sphere reaches >20 even at 400 steps;
+    # the background-mismatch failure mode scores ~4 (white GT vs black bg),
+    # so 14 separates the regimes with margin for CPU/seed jitter
+    assert metrics["psnr"] > 14.0, f"blender-protocol eval broke: {metrics}"
+
+    # the void region of the render must actually be WHITE (composited onto
+    # the dataparser's alpha_color), not black
+    img = images["img"]  # [gt | pred] side by side, float [0,1]
+    pred = img[:, img.shape[1] // 2 :]
+    corner = pred[:2, -2:]  # top-right corner is void on every fixture view
+    assert corner.mean() > 0.8, f"void pixels not white: mean={corner.mean():.3f}"
