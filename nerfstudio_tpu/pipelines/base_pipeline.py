@@ -350,12 +350,19 @@ class VanillaPipeline:
             gt = blend_background(gt_raw, background_color=bg)
         else:
             gt = gt_raw
-        lp_fn, lp_name = lpips_fn()
         metrics = {
             "psnr": float(psnr(pred, gt)),
             "ssim": float(ssim(pred, gt)),
-            lp_name: float(lp_fn(pred, gt)),
         }
+        lp_fn, lp_name = lpips_fn()
+        # random-VGG LPIPS is ~noise across quality levels (its own validation
+        # shows pooled Spearman 0.90 vs 1-SSIM, benchmarks/lpips_validation
+        # .json) — only the real-weights metric lands in eval artifacts
+        # (opt back in with NST_LPIPS_FALLBACK_METRIC=1)
+        import os
+
+        if lp_name == "lpips" or os.environ.get("NST_LPIPS_FALLBACK_METRIC") == "1":
+            metrics[lp_name] = float(lp_fn(pred, gt))
         images = {"img": np.concatenate([np.asarray(gt), np.asarray(pred)], axis=1)}
         images.update({k: v for k, v in outputs.items() if k not in ("rgb",)})
         return metrics, images

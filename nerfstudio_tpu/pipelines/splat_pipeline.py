@@ -619,12 +619,18 @@ class SplatPipeline:
             from nerfstudio_tpu.model_components.bilateral_grid import color_correct
 
             pred = color_correct(pred, gt)
-        lp_fn, lp_name = lpips_fn()
-        return {
+        metrics = {
             "psnr": float(psnr(pred, gt)),
             "ssim": float(ssim(pred, gt)),
-            lp_name: float(lp_fn(pred, gt)),
-        }, out
+        }
+        lp_fn, lp_name = lpips_fn()
+        # real-weights LPIPS only; the rand-VGG proxy is excluded from eval
+        # artifacts (see base_pipeline.get_eval_image_metrics_and_images)
+        import os
+
+        if lp_name == "lpips" or os.environ.get("NST_LPIPS_FALLBACK_METRIC") == "1":
+            metrics[lp_name] = float(lp_fn(pred, gt))
+        return metrics, out
 
 
 def build_splat_pipeline(
