@@ -1,7 +1,8 @@
 """Event writer fan-out (reference: nerfstudio/utils/writer.py, 535 LoC).
 
 Scalars/images buffered per step, flushed to a console table and (optionally)
-TensorBoard via tensorboardX. Wandb/Comet hooks gated on availability."""
+TensorBoard via tensorboardX. Wandb/Comet hooks gated on availability
+(reference writer.py:202-235 CometWriter / WandbWriter)."""
 
 from __future__ import annotations
 
@@ -20,6 +21,7 @@ class EventWriter:
         self.vis = vis
         self._tb = None
         self._wandb = None
+        self._comet = None
         self._start = time.time()
         self._last_print: Dict[str, float] = {}
         self._avg_buffer: Dict[str, float] = {}
@@ -29,7 +31,11 @@ class EventWriter:
                 from tensorboardX import SummaryWriter
 
                 self.log_dir.mkdir(parents=True, exist_ok=True)
-                self._tb = SummaryWriter(logdir=str(self.log_dir))
+                # flush_secs=2: tensorboardX's flush() only flushes the file
+                # buffer, NOT the async event queue — with the default 120 s
+                # cadence, eval images would not appear in TensorBoard until
+                # 2 minutes after the eval step (or at close)
+                self._tb = SummaryWriter(logdir=str(self.log_dir), flush_secs=2)
             except ImportError:
                 pass
         if "wandb" in vis:
@@ -40,12 +46,21 @@ class EventWriter:
                 self._wandb = wandb
             except ImportError:
                 pass
+        if "comet" in vis:
+            try:
+                import comet_ml
+
+                self._comet = comet_ml.Experiment(project_name="nerfstudio-tpu")
+            except ImportError:
+                print("comet selected but comet_ml is not installed; skipping")
 
     def put_scalar(self, name: str, value: float, step: int) -> None:
         if self._tb is not None:
             self._tb.add_scalar(name, value, step)
         if self._wandb is not None:
             self._wandb.log({name: value}, step=step)
+        if self._comet is not None:
+            self._comet.log_metric(name, value, step=step)
 
     max_steps: int = 0  # set by the trainer for ETA computation
 
@@ -86,15 +101,21 @@ class EventWriter:
                 print(line2, flush=True)
 
     def put_image(self, name: str, image: np.ndarray, step: int) -> None:
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
         if self._tb is not None:
-            img = np.asarray(image)
-            if img.dtype != np.uint8:
-                img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             self._tb.add_image(name, img, step, dataformats="HWC")
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(img)}, step=step)
+        if self._comet is not None:
+            self._comet.log_image(img, name=name, step=step)
 
     def put_config(self, config: dict) -> None:
         if self._tb is not None:
             self._tb.add_text("config", str(config))
+        if self._comet is not None:
+            self._comet.log_parameters(config)
 
     def flush(self) -> None:
         if self._tb is not None:
