@@ -77,4 +77,5 @@ for m in depth-nerfacto vanilla-nerf mipnerf tensorf dnerf neus neus-facto \
 done
 
 echo "MATRIX_R4_DONE $(date +%H:%M:%S)" | tee -a "$LOG"
-python tools/summarize_gates.py 2>&1 | tail -3 || true
+python tools/summarize_gates.py --write 2>&1 | tail -3 || true
+git add CONVERGENCE.md && git commit -q -m "CONVERGENCE.md: auto-generated r4 gate matrix table" || true
