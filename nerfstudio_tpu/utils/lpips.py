@@ -47,7 +47,11 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
-    y = jax.lax.conv_general_dilated(x, w, (1, 1), "SAME", dimension_numbers=dn)
+    # f32 operands (TPU default truncates conv operands to bf16; published
+    # LPIPS values are f32 — see utils/metrics._filter2d for the SSIM case)
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=dn, precision=jax.lax.Precision.HIGHEST
+    )
     if b is not None:
         y = y + b.reshape(1, -1, 1, 1)
     return y

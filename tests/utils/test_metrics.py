@@ -51,6 +51,26 @@ def test_ssim_vs_independent_reference():
         assert ours == pytest.approx(ref, abs=2e-2), (noise, ours, ref)
 
 
+def test_ssim_immune_to_default_low_precision():
+    """On TPU the DEFAULT conv precision truncates f32 operands to bf16 and
+    SSIM's variance cancellation (mu_pp - mu_p^2) collapses — measured
+    0.88 -> 0.30 on a real eval pair (r4). The convs must pin
+    Precision.HIGHEST so the metric is identical under any default."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(size=(96, 96, 3)).astype(np.float32)
+    # smooth, low-contrast content — the cancellation-sensitive regime
+    from scipy.ndimage import gaussian_filter
+
+    a = gaussian_filter(a, (3, 3, 0)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.03, size=a.shape).astype(np.float32), 0, 1)
+    exact = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    with jax.default_matmul_precision("bfloat16"):
+        low = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert low == pytest.approx(exact, abs=1e-3), (low, exact)
+
+
 def test_ssim_monotone_in_noise():
     rng = np.random.default_rng(2)
     a = rng.uniform(size=(48, 48, 3)).astype(np.float32)
