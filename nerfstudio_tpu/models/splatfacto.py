@@ -279,7 +279,9 @@ class SplatfactoModel:
         else:
             gt = gt_image
         l1 = jnp.mean(jnp.abs(gt - pred))
-        simloss = 1.0 - ssim(pred, gt)
+        # precision=None: default (fast bf16-operand) convs — loss-gradient
+        # noise is harmless; the METRIC ssim stays exact (utils/metrics.ssim)
+        simloss = 1.0 - ssim(pred, gt, precision=None)
         loss = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * simloss
         loss_dict = {"main_loss": loss, "l1": l1, "ssim_loss": simloss}
         if cfg.use_scale_regularization:

@@ -24,27 +24,26 @@ def _gaussian_kernel(size: int, sigma: float) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
-def _filter2d(img: jnp.ndarray, kernel1d: jnp.ndarray) -> jnp.ndarray:
+def _filter2d(img: jnp.ndarray, kernel1d: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Separable gaussian blur. img: (H, W, C).
 
-    precision=HIGHEST is load-bearing: on TPU the DEFAULT conv precision
-    truncates f32 operands to bf16, and SSIM's variance terms
-    (mu_pp - mu_p^2) then cancel catastrophically — measured 0.88 -> 0.30 on
-    a real eval pair. Every r2/r3 on-device gate SSIM silently underestimated
-    quality because of this (the r3 'nerfacto basic SSIM failure' was this
-    metric bug, not the model)."""
+    precision=HIGHEST (the ssim() default) is load-bearing: on TPU the
+    DEFAULT conv precision truncates f32 operands to bf16, and SSIM's
+    variance terms (mu_pp - mu_p^2) then cancel catastrophically — measured
+    0.88 -> 0.30 on a real eval pair. Every r2/r3 on-device gate SSIM
+    silently underestimated quality because of this (the r3 'nerfacto basic
+    SSIM failure' was this metric bug, not the model)."""
     k = kernel1d
     pad = len(k) // 2
     img = jnp.moveaxis(img, -1, 0)[:, None]  # (C, 1, H, W)
     kh = k.reshape(1, 1, -1, 1)
     kw = k.reshape(1, 1, 1, -1)
     dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    hi = jax.lax.Precision.HIGHEST
     out = jax.lax.conv_general_dilated(
-        img, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, precision=hi
+        img, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, precision=precision
     )
     out = jax.lax.conv_general_dilated(
-        out, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, precision=hi
+        out, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, precision=precision
     )
     return jnp.moveaxis(out[:, 0], 0, -1)
 
@@ -57,14 +56,21 @@ def ssim(
     filter_sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
-    """Structural similarity for (H, W, C) images in [0, max_val]."""
+    """Structural similarity for (H, W, C) images in [0, max_val].
+
+    ``precision`` pins the conv operand precision; the HIGHEST default is
+    required for a correct METRIC on TPU (see _filter2d). A training LOSS
+    may pass None to keep the fast bf16-operand convs — gradient noise
+    there is harmless and the 1024^2 splat loss conv is 16x cheaper."""
     kernel = _gaussian_kernel(filter_size, filter_sigma)
-    mu_p = _filter2d(pred, kernel)
-    mu_t = _filter2d(target, kernel)
-    mu_pp = _filter2d(pred * pred, kernel)
-    mu_tt = _filter2d(target * target, kernel)
-    mu_pt = _filter2d(pred * target, kernel)
+    _filter2d_p = functools.partial(_filter2d, precision=precision)
+    mu_p = _filter2d_p(pred, kernel)
+    mu_t = _filter2d_p(target, kernel)
+    mu_pp = _filter2d_p(pred * pred, kernel)
+    mu_tt = _filter2d_p(target * target, kernel)
+    mu_pt = _filter2d_p(pred * target, kernel)
     sigma_p = jnp.maximum(mu_pp - mu_p**2, 0.0)
     sigma_t = jnp.maximum(mu_tt - mu_t**2, 0.0)
     sigma_pt = mu_pt - mu_p * mu_t
