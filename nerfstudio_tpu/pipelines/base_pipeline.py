@@ -81,7 +81,10 @@ class VanillaPipeline:
                 jax.random.PRNGKey(0), self.datamanager.train_images, num_rays=n_rays
             )
             example_rays = generate_rays_from_indices(self.datamanager.train_cameras, idx)
-        return self.model_train.init(key, example_rays, key=jax.random.PRNGKey(0))
+        # jit the (pure) flax init: eager init dispatches hundreds of tiny
+        # ops, each with its own mini-compile — ~5-15 s per model on the
+        # 1-CPU CI box
+        return jax.jit(self.model_train.init)(key, example_rays, key=jax.random.PRNGKey(0))
 
     def init_state(self, key: jax.Array, params=None, example_rays=None) -> TrainState:
         if params is None:

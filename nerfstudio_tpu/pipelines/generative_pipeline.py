@@ -59,7 +59,7 @@ class GenerativePipeline:
         rb = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:]) if x is not None else None, rb
         )
-        params = self.model.init(key, rb, key=jax.random.PRNGKey(0))
+        params = jax.jit(self.model.init)(key, rb, key=jax.random.PRNGKey(0))
         return GenerativeTrainState(
             params=params, opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32)
         )

@@ -12,6 +12,13 @@ initialize lazily, so this wins as long as no array op ran yet).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# correctness tests don't need optimized codegen: level 0 measures ~20%
+# faster cold compiles on the 1-CPU CI box (semantics unchanged — only LLVM
+# optimization passes are skipped)
+if "--xla_backend_optimization_level" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0"
+    ).strip()
 
 import jax  # noqa: E402
 

@@ -50,6 +50,13 @@ def _shrink(config):
         ("num_samples", 8),
         ("num_samples_importance", 8),
         ("num_samples_outside", 4),
+        # the two proposal nets are 5-level hash fields — the unrolled
+        # per-level code is a big share of the train program's op count
+        ("proposal_net_args_list", (
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 2, "max_res": 32},
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 2, "max_res": 64},
+        )),
+        ("occ_num_probes", 16),
     ]:
         if hasattr(m, attr):
             setattr(m, attr, val)
@@ -137,9 +144,8 @@ def test_generfacto_smoke():
     from nerfstudio_tpu.data.random_cameras_datamanager import RandomCamerasConfig
     from nerfstudio_tpu.pipelines.generative_pipeline import GenerativePipeline
 
-    config = get_method("generfacto")
+    config = _shrink(get_method("generfacto"))
     config.model.num_samples_per_ray = 8
-    config.model.log2_hashmap_size = 9 if hasattr(config.model, "log2_hashmap_size") else None
     config.random_cameras = RandomCamerasConfig(train_resolution=16, eval_resolution=16)
     pipeline = GenerativePipeline(config, seed=0)
     key = jax.random.PRNGKey(0)
@@ -225,6 +231,9 @@ def test_nerfacto_level_gated_backward_smoke(blender_dir, tmp_path):
     config.data = blender_dir
     config.trainer.output_dir = tmp_path / "outputs"
     config = _shrink(config)
+    # 2 levels: this test compiles 3-4 distinct static program variants
+    # (warmup/odd/even/frozen) — the smallest field halves its 60 s cost
+    config.model.num_levels = 2
     config.model.field_bwd_level_period = 2
     config.model.field_bwd_level_warmup = 1
     config.model.proposal_freeze_after = 3
@@ -241,7 +250,9 @@ def test_nerfacto_level_gated_backward_smoke(blender_dir, tmp_path):
 
     pipeline, state, config = build_pipeline(config, use_mesh=False)
     key = jax.random.PRNGKey(0)
-    for step in range(4):
+    # 3 steps = warmup/odd/even gate variants (each its own XLA program —
+    # the frozen-proposal variant is covered by the kw assertion above)
+    for step in range(3):
         key, k = jax.random.split(key)
         state, metrics = pipeline.train_step(
             state, pipeline.datamanager.train_images, k,
