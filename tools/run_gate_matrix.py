@@ -91,7 +91,16 @@ def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path
             # methods whose defaults assume content on every ray
             scene_dir = scene_dir.parent / "blender"
             scene = "blender"
-        config.dataparser = BlenderDataParserConfig(data=scene_dir)
+        # methods shipping background_color="black" (instant-ngp-bounded)
+        # follow the reference's own blender protocol for them: the
+        # instant-ngp parser path with NO alpha color, i.e. GT pre-multiplied
+        # onto black — consistent with the black train/eval background
+        # (reference scripts/benchmarking/launch_train_blender.sh:67-69
+        # passes transforms_train.json with dataparser=""). A white-alpha
+        # parser + black-background model is ill-posed: void pixels train to
+        # zero loss with either acc=0 or black density.
+        alpha = None if getattr(config.model, "background_color", "") == "black" else "white"
+        config.dataparser = BlenderDataParserConfig(data=scene_dir, alpha_color=alpha)
     else:
         from nerfstudio_tpu.data.dataparsers.nerfstudio_dataparser import (
             NerfstudioDataParserConfig,
