@@ -116,17 +116,35 @@ class SplatAux:
     max_radii: jnp.ndarray  # (N,) max screen radius seen (fraction of max image dim)
 
 
+def capacity_bucket(n_alive: int, config: SplatfactoModelConfig) -> int:
+    """Smallest power-of-2 capacity with >= 2x headroom over the live count,
+    clamped to [256, max_gaussians].
+
+    The TPU answer to gsplat's in-place param resizing is padded arrays —
+    but padding to the full max_gaussians taxes EVERY step with projection +
+    key-sort over dead slots (measured 290 ms/step at 300k cap with 30k
+    alive vs 38 ms at a fitting capacity). Buckets keep shapes static
+    per-bucket; crossing a boundary re-jits once (a handful of times per
+    training). 2x headroom guarantees a full densify round (worst case
+    doubles the live set) always has free slots."""
+    b = 256
+    while b < 2 * n_alive and b < config.max_gaussians:
+        b *= 2
+    return min(b, config.max_gaussians)
+
+
 def init_gaussian_params(
     config: SplatfactoModelConfig,
     seed_points: Optional[Tuple[np.ndarray, Optional[np.ndarray]]] = None,
     scene_scale: float = 1.0,
     seed: int = 42,
     num_images: Optional[int] = None,
+    n_cap: Optional[int] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], SplatAux]:
     """Seed from SfM points + kNN scale init (reference splatfacto.py:190-231),
-    padded to max capacity."""
+    padded to ``n_cap`` (a capacity bucket; default = full max_gaussians)."""
     key = jax.random.PRNGKey(seed)
-    n_cap = config.max_gaussians
+    n_cap = n_cap or config.max_gaussians
     if seed_points is not None and not config.random_init and len(seed_points[0]) > 0:
         pts = jnp.asarray(seed_points[0], jnp.float32)
         n = pts.shape[0]
@@ -333,7 +351,7 @@ class SplatfactoModel:
         """One densify/cull pass over the padded arrays
         (gsplat DefaultStrategy semantics; reference splatfacto.py:262-295)."""
         cfg = self.config
-        n_cap = cfg.max_gaussians
+        n_cap = params["means"].shape[0]  # current capacity bucket
         # new-slot budget can never exceed capacity (tiny-config safety:
         # top_k(k) requires k <= array size)
         m = min(cfg.max_refine_new, n_cap)
@@ -513,7 +531,7 @@ class SplatfactoModel:
         rewritten slot (sources included) are zeroed (gsplat resets the
         relocated rows' optimizer state)."""
         cfg = self.config
-        n_cap = cfg.max_gaussians
+        n_cap = params["means"].shape[0]  # current capacity bucket
         # new-slot budget can never exceed capacity (tiny-config safety:
         # top_k(k) requires k <= array size)
         m = min(cfg.max_refine_new, n_cap)

@@ -86,15 +86,54 @@ class SplatPipeline:
         self.mesh = mesh
 
     def init_state(self, seed_points=None, scene_scale: float = 1.0, seed: int = 42) -> SplatTrainState:
-        params, aux = __import__(
-            "nerfstudio_tpu.models.splatfacto", fromlist=["init_gaussian_params"]
-        ).init_gaussian_params(
-            self.model.config, seed_points, scene_scale, seed,
+        from nerfstudio_tpu.models.splatfacto import capacity_bucket, init_gaussian_params
+
+        cfg = self.model.config
+        n_seed = (
+            len(seed_points[0])
+            if (seed_points is not None and not cfg.random_init and len(seed_points[0]) > 0)
+            else cfg.num_random
+        )
+        params, aux = init_gaussian_params(
+            cfg, seed_points, scene_scale, seed,
             num_images=len(self.datamanager.train_dataset),
+            n_cap=capacity_bucket(min(n_seed, cfg.max_gaussians), cfg),
         )
         opt_state = self.tx.init(params)
         return SplatTrainState(
             params=params, opt_state=opt_state, aux=aux, step=jnp.zeros((), jnp.int32)
+        )
+
+    def grow_state(self, state: SplatTrainState, new_cap: int) -> SplatTrainState:
+        """Pad every per-gaussian leaf (leading dim == current bucket) to
+        ``new_cap``: params, Adam moments, densification aux. New param slots
+        match init_gaussian_params' dead-slot values (opacity logit -10,
+        quat w=1) so culling/refine semantics are unchanged."""
+        old_cap = state.params["means"].shape[0]
+        assert new_cap > old_cap
+        pad_n = new_cap - old_cap
+        gauss_keys = {"means", "scales", "quats", "features_dc", "features_rest", "opacities"}
+
+        def pad_zeros(x):
+            if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == old_cap:
+                return jnp.concatenate(
+                    [x, jnp.zeros((pad_n,) + x.shape[1:], x.dtype)], axis=0
+                )
+            return x
+
+        params = dict(state.params)
+        for k in gauss_keys:
+            params[k] = pad_zeros(state.params[k])
+        params["opacities"] = params["opacities"].at[old_cap:].set(-10.0)
+        params["quats"] = params["quats"].at[old_cap:, 0].set(1.0)
+        opt_state = jax.tree_util.tree_map(pad_zeros, state.opt_state)
+        aux = jax.tree_util.tree_map(pad_zeros, state.aux)
+        # recompile for the new shapes on next use
+        self._train_step = None
+        self._train_step_batch = None
+        self._refine = None
+        return SplatTrainState(
+            params=params, opt_state=opt_state, aux=aux, step=state.step
         )
 
     # ------------------------------------------------------------------
@@ -118,7 +157,7 @@ class SplatPipeline:
             cam_idx: int = 0,
         ):
             k_bg, k_noise = jax.random.split(key)
-            n_cap = model.config.max_gaussians
+            n_cap = state.params["means"].shape[0]  # current capacity bucket
             probe = jnp.zeros((n_cap, 2))
 
             def loss_fn(params, probe):
@@ -232,7 +271,7 @@ class SplatPipeline:
             sh_degree: int,
             means_lr: float = 0.0,
         ):
-            n_cap = model.config.max_gaussians
+            n_cap = state.params["means"].shape[0]  # current capacity bucket
             batch = c2ws.shape[0]
             probe = jnp.zeros((batch, n_cap, 2))
 
@@ -403,6 +442,19 @@ class SplatPipeline:
         mgr = self._ckpt_manager(ckpt_dir, create=False)
         step = step or mgr.latest_step()
         assert step is not None, f"no checkpoints in {ckpt_dir}"
+        # capacity buckets: the checkpoint's arrays carry the bucket size the
+        # run had grown to, which can differ from a fresh init_state's —
+        # adopt the SAVED shapes by padding the template up (reference
+        # analog: splatfacto resizes params to the checkpoint count,
+        # splatfacto.py:343-356)
+        saved = mgr.item_metadata(step)
+        try:
+            saved_cap = saved["params"]["means"].shape[0]
+            cur_cap = state.params["means"].shape[0]
+            if saved_cap > cur_cap:
+                state = self.grow_state(state, saved_cap)
+        except (KeyError, TypeError, AttributeError):
+            pass
         template = {
             "params": state.params,
             "opt_state": state.opt_state,
@@ -535,6 +587,26 @@ class SplatPipeline:
                 and step % cfg.refine_every == 0
             ):
                 key, k = jax.random.split(key)
+                # capacity-bucket growth check BEFORE refining: keep >= 2x
+                # headroom so a full densify round (worst case doubles the
+                # live set) always has free slots. One small host readback
+                # per refine_every steps; crossing a bucket re-jits the
+                # step/refine programs for the new static shapes.
+                from nerfstudio_tpu.models.splatfacto import capacity_bucket
+
+                cur_cap = state.params["means"].shape[0]
+                if cur_cap < cfg.max_gaussians:
+                    n_alive = int(jax.device_get(jnp.sum(state.aux.alive)))
+                    want = capacity_bucket(n_alive, cfg)
+                    if want > cur_cap:
+                        state = self.grow_state(state, want)
+                        if use_mesh:
+                            state = jax.device_put(state, repl)
+                        self.build_refine()
+                        if use_mesh:
+                            self.build_train_step_batch()
+                        else:
+                            self.build_train_step()
                 if cfg.strategy == "mcmc":
                     if step < cfg.stop_split_at:
                         state = self._refine(state, k)
