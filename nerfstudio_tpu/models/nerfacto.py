@@ -142,15 +142,20 @@ class NerfactoModelConfig(ModelConfig):
     # unbiasedness over the P-step cycle); the other levels' backward
     # scatters — the train step's dominant serial cost (PERF.md) — are
     # statically dead. 0 disables (full backward every step). Requires
-    # field_block. Quality-gated before default-on (benchmarks/).
-    field_bwd_level_period: int = 0
+    # field_block. Default 2: quality-gated ON in r4 — the gate IMPROVES
+    # (benchmarks/gate_nerfacto_fastbwd.json 24.97/0.898 vs 24.13/0.880
+    # full-backward; sparser, larger per-entry Adam updates converge faster,
+    # consistent with the corner-subsampled-backward result) at +19% bench.
+    field_bwd_level_period: int = 2
     # full backward during early training (the coarse levels build global
     # structure in the first few hundred steps); gating starts after this
     field_bwd_level_warmup: int = 512
     # stop updating proposal nets after this step (0 = never): proposal
     # placement converges early, and the every-5th-step proposal-grad
-    # program costs +27 ms (PERF.md round-2 attribution)
-    proposal_freeze_after: int = 0
+    # program costs +27 ms (PERF.md round-2 attribution). Default 2500:
+    # quality-gated ON (benchmarks/gate_nerfacto_fastbwd2.json 25.12/0.899
+    # vs 24.13/0.880 with live proposals, r4) at +9% bench throughput.
+    proposal_freeze_after: int = 2500
     average_init_density: float = 0.01
     camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "SO3xR3"
     # pin the 6-DoF pose-opt gauge by centering the tangent table (see
@@ -570,4 +575,8 @@ class NerfactoModel(Model):
             config.proposal_update_every,
         ).astype(jnp.int32)
         kwargs["update_proposals"] = (step < config.proposal_warmup) | (step % every == 0)
+        if config.proposal_freeze_after:
+            kwargs["update_proposals"] = kwargs["update_proposals"] & (
+                step < config.proposal_freeze_after
+            )
         return kwargs
