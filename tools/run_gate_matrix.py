@@ -49,9 +49,13 @@ DEFAULT_STEPS = {
 }
 PSNR_GATE, SSIM_GATE = 20.0, 0.7
 # blender-format parsers train on transforms_train.json; the rest use the
-# nerfstudio-format transforms.json with a held-out eval fraction
+# nerfstudio-format transforms.json with a held-out eval fraction.
+# neus/neus-facto route here too: SDF sphere-init assumes an OUTWARD bounded
+# object (the reference's DTU protocol) — the basic scene's inward-facing
+# dome is anti-matched to the method family (both SDF cells scored ~13 dB on
+# it, r4) while the blender scene's bounded spheres are the protocol fit.
 BLENDER_METHODS = {"vanilla-nerf", "mipnerf", "dnerf", "tensorf", "instant-ngp",
-                   "instant-ngp-bounded"}
+                   "instant-ngp-bounded", "neus", "neus-facto"}
 
 
 def make_scenes(root: Path, hw: int, n_train: int, n_test: int) -> None:
