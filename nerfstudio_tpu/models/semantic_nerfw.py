@@ -30,7 +30,11 @@ class SemanticNerfWModelConfig(ModelConfig):
     num_coarse_samples: int = 64
     num_importance_samples: int = 64
     background_color: str = "black"
-    use_transient_embedding: bool = True
+    # reference parity: transients ship OFF (reference semantic_nerfw.py:55);
+    # with them on, the transient head + per-image embeddings can explain the
+    # whole image and eval (mean embedding) collapses — observed 6.5 dB on
+    # the r4 gate before this flip
+    use_transient_embedding: bool = False
     use_semantics: bool = True
     num_semantic_classes: int = 100
     semantic_loss_weight: float = 1.0
