@@ -227,7 +227,10 @@ def main() -> None:
     # matrix driver moves on / retries.
     import faulthandler
 
-    faulthandler.dump_traceback_later(180, exit=True)
+    # 300 s: cold tunnel inits were observed taking >180 s back-to-back with
+    # a previous cell's teardown (r4: the instant-ngp masked cell died on
+    # the old 180 s watchdog during backend init)
+    faulthandler.dump_traceback_later(300, exit=True)
     import jax
 
     # persistent compile cache shared across cells: the same method re-runs
