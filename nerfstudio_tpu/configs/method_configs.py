@@ -343,6 +343,8 @@ from nerfstudio_tpu.data.dataparsers.specialty_dataparsers import (  # noqa: E40
 from nerfstudio_tpu.models.generfacto import GenerfactoModelConfig  # noqa: E402
 from nerfstudio_tpu.models.semantic_nerfw import SemanticNerfWModelConfig  # noqa: E402
 
+# nerfacto stack + semantics head (reference method_configs.py semantic-nerfw
+# entry: SemanticNerfWModelConfig(NerfactoModelConfig), nerfacto optimizers)
 method_configs["semantic-nerfw"] = MethodConfig(
     method_name="semantic-nerfw",
     dataset="semantic",
@@ -350,12 +352,7 @@ method_configs["semantic-nerfw"] = MethodConfig(
     datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
     dataparser=Sitcoms3DDataParserConfig(),
     model=SemanticNerfWModelConfig(eval_num_rays_per_chunk=1 << 14),
-    optimizers={
-        "field": {
-            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
-            "scheduler": ExponentialDecaySchedulerConfig(lr_final=1e-4, max_steps=30000),
-        },
-    },
+    optimizers=_nerfacto_optimizers(),
 )
 
 # NeRF-W on unstructured photo collections: nerfacto model + phototourism

@@ -139,6 +139,14 @@ class DeviceCacheDataManager:
                 [train_dataset.get_metadata(i)["depth_image"] for i in range(len(train_dataset))]
             ).astype(np.float32)
 
+        # optional per-pixel semantic label stack (semantic-nerfw); int32
+        # (N,H,W,1) class ids, gathered per ray batch like the depth stack
+        self._all_semantics_host = None
+        if self._buckets is None and getattr(train_dataset, "semantics", None) is not None:
+            self._all_semantics_host = np.stack(
+                [train_dataset.get_metadata(i)["semantics"] for i in range(len(train_dataset))]
+            ).astype(np.int32)
+
         self.bucket_valid = None
         self.bucket_depths = None
         if self._buckets is not None:
@@ -180,6 +188,7 @@ class DeviceCacheDataManager:
                     self._put(build_valid_indices(b["masks"])) for b in self._buckets
                 )
             self.train_depths = None
+            self.train_semantics = None
         else:
             self._load_subset(self._select_subset(np.random.default_rng(0)))
 
@@ -214,6 +223,10 @@ class DeviceCacheDataManager:
             self.train_depths = self._put(self._all_depths_host[subset])
         else:
             self.train_depths = None
+        if self._all_semantics_host is not None:
+            self.train_semantics = self._put(self._all_semantics_host[subset])
+        else:
+            self.train_semantics = None
 
     def _load_bucket_subset(self, rng) -> None:
         """Bucketed resident subsets: per bucket, upload a fixed-size random
@@ -350,6 +363,10 @@ class DeviceCacheDataManager:
         batch = {"image": rgb, "indices": idx}
         if self.train_depths is not None:
             batch["depth_image"] = gather_pixels(self.train_depths, idx)
+        # getattr: duck-typed managers (__graft_entry__'s synthetic manager)
+        # predate the semantics stack
+        if getattr(self, "train_semantics", None) is not None:
+            batch["semantics"] = gather_pixels(self.train_semantics, idx)
         if resident_map is not None:
             # remap resident slot -> original camera index for ray generation
             idx = idx.at[:, 0].set(resident_map[idx[:, 0]])

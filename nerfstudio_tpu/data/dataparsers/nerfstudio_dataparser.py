@@ -60,6 +60,7 @@ class Nerfstudio(DataParser):
             meta = json.load(f)
 
         image_filenames, mask_filenames, depth_filenames = [], [], []
+        semantic_filenames = []
         poses = []
         fx, fy, cx, cy, height, width, distort = [], [], [], [], [], [], []
 
@@ -106,9 +107,12 @@ class Nerfstudio(DataParser):
                 mask_filenames.append(data_dir / frame["mask_path"])
             if "depth_file_path" in frame:
                 depth_filenames.append(data_dir / frame["depth_file_path"])
+            if "semantic_path" in frame:
+                semantic_filenames.append(data_dir / frame["semantic_path"])
 
         assert len(mask_filenames) in (0, len(image_filenames))
         assert len(depth_filenames) in (0, len(image_filenames))
+        assert len(semantic_filenames) in (0, len(image_filenames))
 
         # train/eval split (reference :175-230)
         num_images = len(image_filenames)
@@ -222,6 +226,21 @@ class Nerfstudio(DataParser):
             "depth_filenames": [depth_filenames[i] for i in indices] if depth_filenames else None,
             "depth_unit_scale_factor": cfg.depth_unit_scale_factor,
         }
+        if semantic_filenames:
+            # per-frame "semantic_path" label maps (repo extension of the
+            # transforms.json format; the reference carries semantics via the
+            # sitcoms3d parser only — base_dataparser.py:34-47 Semantics)
+            from nerfstudio_tpu.data.dataparsers.base_dataparser import Semantics
+
+            classes = list(meta.get("semantic_classes", []))
+            if not classes:
+                classes = [f"class_{i}" for i in range(256)]
+            rng = np.random.default_rng(0)
+            metadata["semantics"] = Semantics(
+                filenames=[semantic_filenames[i] for i in indices],
+                classes=classes,
+                colors=rng.uniform(size=(len(classes), 3)).astype(np.float32),
+            )
         if cfg.load_3D_points:
             ply_path = meta.get("ply_file_path")
             if ply_path is not None and (data_dir / ply_path).exists():

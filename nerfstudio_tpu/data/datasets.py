@@ -273,7 +273,18 @@ class SemanticDataset(InputDataset):
 
     def __init__(self, dataparser_outputs: DataparserOutputs, scale_factor: float = 1.0):
         super().__init__(dataparser_outputs, scale_factor)
-        self.semantics = dataparser_outputs.metadata.get("semantics")
+        md = dataparser_outputs.metadata or {}
+        sem = md.get("semantics")
+        if sem is None and md.get("semantics_filenames"):
+            # sitcoms3d-style flat metadata keys -> Semantics object
+            from nerfstudio_tpu.data.dataparsers.base_dataparser import Semantics
+
+            classes = list(md.get("semantics_classes", []))
+            sem = Semantics(
+                filenames=md["semantics_filenames"], classes=classes,
+                colors=np.random.default_rng(0).uniform(size=(max(len(classes), 1), 3)).astype(np.float32),
+            )
+        self.semantics = sem
 
     def get_metadata(self, image_idx: int) -> Dict:
         if self.semantics is None:

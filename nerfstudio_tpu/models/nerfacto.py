@@ -193,6 +193,9 @@ class NerfactoModel(Model):
             use_appearance_embedding=cfg.use_appearance_embedding,
             appearance_embedding_dim=cfg.appearance_embed_dim if cfg.use_appearance_embedding else 0,
             use_pred_normals=cfg.predict_normals,
+            # semantic-nerfw subclass config (reference semantic_nerfw.py:86-90)
+            use_semantics=getattr(cfg, "use_semantics", False),
+            num_semantic_classes=getattr(cfg, "num_semantic_classes", 16),
             disable_scene_contraction=cfg.disable_scene_contraction,
             average_init_density=cfg.average_init_density,
             implementation=cfg.implementation,
@@ -358,6 +361,15 @@ class NerfactoModel(Model):
         }
         if self.train:
             outputs["background"] = background
+        if FieldHeadNames.SEMANTICS in field_outputs:
+            # weights detached unless pass_semantic_gradients
+            # (reference semantic_nerfw.py:198-203)
+            sem_w = weights
+            if not getattr(cfg, "pass_semantic_gradients", False):
+                sem_w = jax.lax.stop_gradient(sem_w)
+            outputs["semantics"] = renderers.render_semantics(
+                field_outputs[FieldHeadNames.SEMANTICS], sem_w
+            )
         if cfg.predict_normals:
             outputs["normals"] = renderers.render_normals(
                 field_outputs[FieldHeadNames.NORMALS], weights

@@ -59,6 +59,12 @@ def build_pipeline(
     mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 else None
     datamanager = DeviceCacheDataManager(config.datamanager, train_ds, eval_ds)
 
+    # dataset-driven semantic class count (reference semantic_nerfw.py:96:
+    # num_semantic_classes = len(metadata["semantics"].classes))
+    sem = getattr(train_ds, "semantics", None)
+    if sem is not None and sem.classes and hasattr(config.model, "num_semantic_classes"):
+        config.model.num_semantic_classes = len(sem.classes)
+
     aabb = tuple(tuple(float(v) for v in row) for row in np.asarray(train_out.scene_box.aabb))
     ModelCls = config.model._target
     num_train = len(train_ds)

@@ -73,7 +73,7 @@ def set_scene(name: str) -> None:
         ALPHA = True
     elif name == "distorted":
         DISTORTION = (-0.18, 0.04)
-    elif name not in ("basic", "masked"):
+    elif name not in ("basic", "masked", "semantic"):
         raise SystemExit(f"unknown scene {name!r}")
 
 
@@ -291,7 +291,13 @@ def render(c2w: np.ndarray, hw: int, focal: float, transient=None):
         img = (np.concatenate([rgb, alpha[..., None]], axis=-1) * 255).astype(np.uint8)
     else:
         img = (rgb * 255).astype(np.uint8)
-    return img, occ_mask
+    # per-pixel semantic class map (multi-view consistent by construction):
+    # 0 = background (dome/sky/void), 1 = ground plane, 2+si = sphere si
+    sem = np.zeros(hit_kind.shape, np.uint8)
+    sem[hit_kind == 99] = 1
+    for si in range(len(SPHERES)):
+        sem[hit_kind == si] = 2 + si
+    return img, occ_mask, sem
 
 
 def _surface_color(p, n):
@@ -359,13 +365,15 @@ def main() -> None:
     ap.add_argument("--n-points", type=int, default=30000,
                     help="surface seed points written to points3D.ply")
     ap.add_argument("--scene", default="basic",
-                    choices=("basic", "blender", "unbounded", "distorted", "masked"))
+                    choices=("basic", "blender", "unbounded", "distorted", "masked",
+                             "semantic"))
     args = ap.parse_args()
     set_scene(args.scene)
 
     focal = args.hw * 1.1
     rng = np.random.default_rng(7)
     mask_paths: dict = {}
+    sem_paths: dict = {}
 
     for split, n, seed_off in [("train", args.n_train, 0), ("val", args.n_test, 1), ("test", args.n_test, 2)]:
         frames = []
@@ -388,9 +396,13 @@ def main() -> None:
                 tc = np.array([rng.uniform(-0.6, 0.6), rng.uniform(-0.6, 0.6),
                                rng.uniform(0.7, 1.2)])
                 transient = (tc, 0.16, np.array([0.95, 0.4, 0.75]))
-            img, occ = render(c2w, args.hw, focal, transient=transient)
+            img, occ, sem = render(c2w, args.hw, focal, transient=transient)
             name = f"./{split}/r_{i}"
             write_png(args.out / split / f"r_{i}.png", img)
+            if args.scene == "semantic":
+                write_png(args.out / split / f"s_{i}.png",
+                          np.repeat(sem[..., None], 3, axis=-1))
+                sem_paths[f"{split}/r_{i}.png"] = f"{split}/s_{i}.png"
             frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
             if args.scene == "masked":
                 # mask: 255 = supervise, 0 = transient pixel (reference
@@ -432,6 +444,8 @@ def main() -> None:
             entry = {"file_path": rel, "transform_matrix": fr["transform_matrix"]}
             if rel in mask_paths:
                 entry["mask_path"] = mask_paths[rel]
+            if rel in sem_paths:
+                entry["semantic_path"] = sem_paths[rel]
             ns_frames.append(entry)
     if args.scene == "masked":
         # the parser requires masks for every frame or none: eval frames get
@@ -447,6 +461,10 @@ def main() -> None:
         "w": args.hw, "h": args.hw, "camera_model": "OPENCV",
         "frames": ns_frames, "ply_file_path": "points3D.ply",
     }
+    if args.scene == "semantic":
+        ns_meta["semantic_classes"] = (
+            ["background", "ground"] + [f"sphere_{i}" for i in range(len(SPHERES))]
+        )
     if DISTORTION is not None:
         # the blender-format jsons carry no distortion model — only the
         # nerfstudio-format transforms.json is valid for the distorted scene

@@ -59,7 +59,7 @@ BLENDER_METHODS = {"vanilla-nerf", "mipnerf", "dnerf", "tensorf", "instant-ngp",
 
 
 def make_scenes(root: Path, hw: int, n_train: int, n_test: int) -> None:
-    for scene in ("basic", "blender", "unbounded", "distorted", "masked"):
+    for scene in ("basic", "blender", "unbounded", "distorted", "masked", "semantic"):
         out = root / scene
         if (out / "transforms.json").exists():
             print(f"{out} exists, skipping")
@@ -83,6 +83,12 @@ def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path
     config = get_method(method)
     t_setup = time.time()
 
+    if method == "semantic-nerfw" and scene == "basic" and (scene_dir.parent / "semantic").exists():
+        # semantic-nerfw's basic cell runs the semantic-labelled variant of the
+        # basic scene so the CE loss + semantics head are exercised end-to-end
+        # (r4 weak #4 pattern: a cell must test its method's machinery)
+        scene_dir = scene_dir.parent / "semantic"
+        scene = "semantic"
     use_blender = method in BLENDER_METHODS and scene != "distorted"
     if use_blender:
         from nerfstudio_tpu.data.dataparsers.blender_dataparser import (
