@@ -21,6 +21,7 @@ from nerfstudio_tpu.engine.schedulers import (
     ExponentialDecaySchedulerConfig,
     MultiStepSchedulerConfig,
 )
+from nerfstudio_tpu.data.dataparsers.extra_dataparsers import DNeRFDataParserConfig
 from nerfstudio_tpu.engine.trainer import TrainerConfig
 from nerfstudio_tpu.models.base_model import ModelConfig
 from nerfstudio_tpu.models.nerfacto import NerfactoModelConfig
@@ -95,7 +96,16 @@ method_configs["nerfacto"] = MethodConfig(
     ),
     datamanager=DataManagerConfig(train_num_rays_per_batch=4096, eval_num_rays_per_batch=4096),
     dataparser=NerfstudioDataParserConfig(),
-    model=NerfactoModelConfig(eval_num_rays_per_chunk=1 << 15),
+    model=NerfactoModelConfig(
+        eval_num_rays_per_chunk=1 << 15,
+        # TPU-tuned speed knobs (quality-gated in r4:
+        # benchmarks/gate_nerfacto_fastbwd*.json — each IMPROVES the gate);
+        # values scaled to this entry's 30k-iteration schedule and kept OFF
+        # on the model-config defaults (ADVICE r4: the reference never
+        # freezes proposals — derived configs opt in per schedule)
+        field_bwd_level_period=2,
+        proposal_freeze_after=2500,
+    ),
     optimizers=_nerfacto_optimizers(),
 )
 
@@ -114,6 +124,9 @@ method_configs["nerfacto-big"] = MethodConfig(
         max_res=4096,
         proposal_weights_anneal_max_num_iters=5000,
         log2_hashmap_size=21,
+        # TPU speed knobs scaled to the 100k schedule (see nerfacto entry)
+        field_bwd_level_period=2,
+        proposal_freeze_after=8000,
     ),
     optimizers=_nerfacto_optimizers(max_steps=100000),
 )
@@ -139,6 +152,9 @@ method_configs["nerfacto-huge"] = MethodConfig(
         log2_hashmap_size=21,
         features_per_level=4,
         num_levels=16,
+        # TPU speed knobs scaled to the 100k schedule (see nerfacto entry)
+        field_bwd_level_period=2,
+        proposal_freeze_after=8000,
     ),
     optimizers=_nerfacto_optimizers(max_steps=100000),
 )
@@ -249,7 +265,12 @@ method_configs["depth-nerfacto"] = MethodConfig(
     datamanager=DataManagerConfig(train_num_rays_per_batch=4096),
     # 3D points on: fuels the SfM sparse-depth fallback when no depth files
     dataparser=NerfstudioDataParserConfig(load_3D_points=True),
-    model=DepthNerfactoModelConfig(eval_num_rays_per_chunk=1 << 15),
+    model=DepthNerfactoModelConfig(
+        eval_num_rays_per_chunk=1 << 15,
+        # TPU speed knobs scaled to the 30k schedule (see nerfacto entry)
+        field_bwd_level_period=2,
+        proposal_freeze_after=2500,
+    ),
     optimizers=_nerfacto_optimizers(),
 )
 
@@ -273,7 +294,9 @@ method_configs["dnerf"] = MethodConfig(
     method_name="dnerf",
     trainer=TrainerConfig(max_num_iterations=16500, steps_per_eval_image=500),
     datamanager=DataManagerConfig(train_num_rays_per_batch=1024),
-    dataparser=BlenderDataParserConfig(),
+    # reference parity: dnerf ships the dnerf parser (blender + per-frame
+    # time), reference method_configs.py dnerf entry
+    dataparser=DNeRFDataParserConfig(),
     model=VanillaModelConfig(enable_temporal_distortion=True),
     optimizers={
         "field": {

@@ -60,8 +60,16 @@ class InstantNGPModelConfig(ModelConfig):
     far_plane: float = 1000.0
     use_appearance_embedding: bool = False
     background_color: str = "random"
-    disable_scene_contraction: bool = True
-    average_init_density: float = 1.0
+    # reference parity: contraction ships ON (reference instant_ngp.py:73-80);
+    # the occupancy grid then lives in the contracted-normalized [0,1]^3 cube
+    # (probes through UniformLinDispPiecewise spacing reach unbounded content).
+    # instant-ngp-bounded registers True for the classic AABB path.
+    disable_scene_contraction: bool = False
+    # 0.01 (nerfacto's value): under contraction the disparity-tail bins have
+    # huge dt, and init density 1.0 makes the far field OPAQUE at init — the
+    # model never trains past it (r5 ablation: train PSNR stuck at 11 with
+    # 1.0 vs 35+ with 0.01 at far_plane=1000)
+    average_init_density: float = 0.01
     occ_threshold: float = 0.01
     occ_ema_decay: float = 0.95
     # unbiased half-cost hash-table backward (see nerfacto config note)
@@ -104,6 +112,19 @@ class InstantNGPModel(Model):
     def density_fn(self, positions: jnp.ndarray) -> jnp.ndarray:
         return self.field.density_fn(positions)
 
+    def _grid_aabb(self):
+        """Occupancy grid domain: the world AABB when bounded, the
+        contracted-normalized unit cube under scene contraction."""
+        if self.config.disable_scene_contraction:
+            return self.scene_aabb
+        return ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+
+    def _normalized_coords(self, positions: jnp.ndarray) -> jnp.ndarray:
+        """World -> contracted [0,1]^3 (nerfacto's field input space)."""
+        from nerfstudio_tpu.field_components.spatial_distortions import SceneContraction
+
+        return (SceneContraction(order="inf")(positions) + 2.0) / 4.0
+
     def get_outputs(
         self,
         ray_bundle: RayBundle,
@@ -114,9 +135,15 @@ class InstantNGPModel(Model):
         cfg = self.config
         aabb = jnp.asarray(self.scene_aabb, jnp.float32)
         if ray_bundle.nears is None or ray_bundle.fars is None:
-            from nerfstudio_tpu.data.scene_box import SceneBox
+            if cfg.disable_scene_contraction:
+                from nerfstudio_tpu.data.scene_box import SceneBox
 
-            collider = AABBBoxCollider(SceneBox(aabb=aabb), near_plane=cfg.near_plane)
+                collider = AABBBoxCollider(SceneBox(aabb=aabb), near_plane=cfg.near_plane)
+            else:
+                # unbounded: content lives outside the AABB; near/far planes
+                # + disparity-spaced probes cover it (reference pairs the
+                # contraction default with a NearFarCollider-style far plane)
+                collider = NearFarCollider(cfg.near_plane, cfg.far_plane)
             ray_bundle = collider(ray_bundle, training=self.train)
 
         k_samp = k_bg = None
@@ -124,10 +151,25 @@ class InstantNGPModel(Model):
             k_samp, k_bg = jax.random.split(key)
 
         if model_aux is None:
-            model_aux = init_occupancy_grid(self.scene_aabb, cfg.grid_resolution)
-        sampler = OccupancyGridSampler(
-            num_coarse_probes=cfg.num_coarse_probes, num_samples=cfg.num_samples_per_ray
-        )
+            model_aux = init_occupancy_grid(self._grid_aabb(), cfg.grid_resolution)
+        if cfg.disable_scene_contraction:
+            sampler = OccupancyGridSampler(
+                num_coarse_probes=cfg.num_coarse_probes,
+                num_samples=cfg.num_samples_per_ray,
+            )
+        else:
+            from nerfstudio_tpu.model_components.ray_samplers import (
+                UniformLinDispPiecewiseSampler,
+            )
+
+            sampler = OccupancyGridSampler(
+                num_coarse_probes=cfg.num_coarse_probes,
+                num_samples=cfg.num_samples_per_ray,
+                coord_fn=self._normalized_coords,
+                initial_sampler=UniformLinDispPiecewiseSampler(
+                    cfg.num_coarse_probes, train_stratified=False
+                ),
+            )
         ray_samples = sampler(ray_bundle, model_aux, key=k_samp)
 
         field_outputs = self.field(ray_samples)
@@ -178,7 +220,7 @@ class InstantNGPModel(Model):
     def init_aux(model: "InstantNGPModel", config: InstantNGPModelConfig):
         # eager init so TrainState.aux exists from step 0 — required for the
         # checkpoint template to match saved checkpoints on resume
-        return init_occupancy_grid(model.scene_aabb, config.grid_resolution)
+        return init_occupancy_grid(model._grid_aabb(), config.grid_resolution)
 
     @staticmethod
     def make_aux_update_fn(model: "InstantNGPModel", config: InstantNGPModelConfig):
@@ -186,8 +228,17 @@ class InstantNGPModel(Model):
 
         @jax.jit
         def _update(aux, params, key):
-            def density_fn(positions):
-                return model.apply(params, positions, method=model.density_fn)
+            if config.disable_scene_contraction:
+
+                def density_fn(positions):
+                    return model.apply(params, positions, method=model.density_fn)
+            else:
+                # contracted grid cells are already field-input coords
+                def density_fn(positions01):
+                    return model.apply(
+                        params, positions01,
+                        method=lambda m, p: m.field.density_from_normalized(p),
+                    )
 
             return update_occupancy_grid(
                 aux, density_fn, key,
@@ -197,7 +248,7 @@ class InstantNGPModel(Model):
         def hook(state, step: int, key):
             aux = state.aux
             if aux is None:
-                aux = init_occupancy_grid(model.scene_aabb, config.grid_resolution)
+                aux = init_occupancy_grid(model._grid_aabb(), config.grid_resolution)
                 state = state.replace(aux=aux)
             if step % config.grid_update_every != 0 or step < config.grid_warmup_steps:
                 return state

@@ -130,6 +130,11 @@ class NerfactoModelConfig(ModelConfig):
     # exact+stochastic-corner path) at 90.9k rays/s bench vs 44.5k —
     # quality parity at 2x throughput, so on by default.
     field_block: bool = True
+    # NOTE (ADVICE r4): field_bwd_level_period / proposal_freeze_after default
+    # to 0 (reference parity — the reference never freezes proposals); the
+    # TPU-tuned method_configs entries enable them with values scaled to each
+    # method's max_num_iterations (nerfacto: P=2 / freeze 2500 @ 30k steps,
+    # quality-gated in benchmarks/gate_nerfacto_fastbwd*.json).
     # proposal nets through the block path: same access count as
     # prop_stochastic_corner but a full (smoothed) trilerp per access.
     prop_block: bool = True
@@ -146,7 +151,7 @@ class NerfactoModelConfig(ModelConfig):
     # (benchmarks/gate_nerfacto_fastbwd.json 24.97/0.898 vs 24.13/0.880
     # full-backward; sparser, larger per-entry Adam updates converge faster,
     # consistent with the corner-subsampled-backward result) at +19% bench.
-    field_bwd_level_period: int = 2
+    field_bwd_level_period: int = 0
     # full backward during early training (the coarse levels build global
     # structure in the first few hundred steps); gating starts after this
     field_bwd_level_warmup: int = 512
@@ -155,7 +160,7 @@ class NerfactoModelConfig(ModelConfig):
     # program costs +27 ms (PERF.md round-2 attribution). Default 2500:
     # quality-gated ON (benchmarks/gate_nerfacto_fastbwd2.json 25.12/0.899
     # vs 24.13/0.880 with live proposals, r4) at +9% bench throughput.
-    proposal_freeze_after: int = 2500
+    proposal_freeze_after: int = 0
     average_init_density: float = 0.01
     camera_optimizer_mode: Literal["off", "SO3xR3", "SE3"] = "SO3xR3"
     # pin the 6-DoF pose-opt gauge by centering the tangent table (see

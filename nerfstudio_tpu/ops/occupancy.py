@@ -156,11 +156,19 @@ def probe_density(grid: OccupancyGridState, positions: jnp.ndarray) -> jnp.ndarr
 
 @dataclasses.dataclass(frozen=True)
 class OccupancyGridSampler:
-    """Occupancy-driven importance sampler (the VolumetricSampler analog)."""
+    """Occupancy-driven importance sampler (the VolumetricSampler analog).
+
+    ``coord_fn`` maps world probe positions into the grid's coordinate space
+    (identity for a world-AABB grid; contracted-normalized [0,1]^3 for the
+    unbounded instant-ngp path — reference instant_ngp.py:73-80 ships
+    SceneContraction by default). ``initial_sampler`` overrides the probe
+    spacing (piecewise uniform/disparity for unbounded far content)."""
 
     num_coarse_probes: int = 128
     num_samples: int = 48
     empty_weight: float = 1e-3  # residual mass for unoccupied bins
+    coord_fn: Optional[Callable] = None
+    initial_sampler: Optional[object] = None
 
     def __call__(
         self,
@@ -171,8 +179,13 @@ class OccupancyGridSampler:
         k1 = k2 = None
         if key is not None:
             k1, k2 = jax.random.split(key)
-        coarse = UniformSampler(self.num_coarse_probes, train_stratified=False)(ray_bundle)
+        init = self.initial_sampler or UniformSampler(
+            self.num_coarse_probes, train_stratified=False
+        )
+        coarse = init(ray_bundle)
         probe_pos = coarse.frustums.get_positions()  # (R, M, 3)
+        if self.coord_fn is not None:
+            probe_pos = self.coord_fn(probe_pos)
         occ = probe_occupancy(grid, probe_pos)  # (R, M) f32 row-gather probe
         inside = jnp.all(
             (probe_pos > grid.aabb[0]) & (probe_pos < grid.aabb[1]), axis=-1

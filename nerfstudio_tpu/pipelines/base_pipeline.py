@@ -387,11 +387,21 @@ class VanillaPipeline:
         """(reference base_pipeline.py:419-452)"""
         all_metrics = []
         n = len(self.datamanager.eval_dataset)
-        # warm the eval-chunk compile on image 0 so per-image throughput
-        # reflects steady-state rendering, not the one-off XLA compile
-        self.render_camera(
-            state.params, self.datamanager.eval_cameras, 0, chunk_size, aux=state.aux
-        )
+        # warm the eval-chunk compile per distinct (H, W) so per-image
+        # throughput reflects steady-state rendering, not the one-off XLA
+        # compile — and use eval_image's cam_idx mapping, not a raw index
+        # (ADVICE r4: mixed-res eval splits paid compiles inside the timed
+        # region for every new resolution)
+        cams = self.datamanager.eval_cameras
+        hw = np.stack([np.asarray(cams.height).reshape(-1), np.asarray(cams.width).reshape(-1)], -1)
+        seen = set()
+        for i in range(n):
+            cam_idx, _ = self.datamanager.eval_image(i)
+            key = tuple(hw[cam_idx]) if cam_idx < len(hw) else (0, 0)
+            if key in seen:
+                continue
+            seen.add(key)
+            self.render_camera(state.params, cams, cam_idx, chunk_size, aux=state.aux)
         for i in range(n):
             m, _ = self.get_eval_image_metrics_and_images(state, i, chunk_size)
             all_metrics.append(m)

@@ -85,7 +85,8 @@ class SplatPipeline:
         # (reference DDP semantics, scripts/train.py:161-226)
         self.mesh = mesh
 
-    def init_state(self, seed_points=None, scene_scale: float = 1.0, seed: int = 42) -> SplatTrainState:
+    def init_state(self, seed_points=None, scene_scale: float = 1.0, seed: int = 42,
+                   n_cap_override: int | None = None) -> SplatTrainState:
         from nerfstudio_tpu.models.splatfacto import capacity_bucket, init_gaussian_params
 
         cfg = self.model.config
@@ -97,7 +98,7 @@ class SplatPipeline:
         params, aux = init_gaussian_params(
             cfg, seed_points, scene_scale, seed,
             num_images=len(self.datamanager.train_dataset),
-            n_cap=capacity_bucket(min(n_seed, cfg.max_gaussians), cfg),
+            n_cap=n_cap_override or capacity_bucket(min(n_seed, cfg.max_gaussians), cfg),
         )
         opt_state = self.tx.init(params)
         return SplatTrainState(
@@ -126,7 +127,21 @@ class SplatPipeline:
             params[k] = pad_zeros(state.params[k])
         params["opacities"] = params["opacities"].at[old_cap:].set(-10.0)
         params["quats"] = params["quats"].at[old_cap:, 0].set(1.0)
-        opt_state = jax.tree_util.tree_map(pad_zeros, state.opt_state)
+        # pad opt_state moments KEYED BY PARAM PATH (only the six per-gaussian
+        # params): shape-matching alone wrongly padded camera_opt /
+        # bilateral_grids Adam moments whenever num_images coincided with the
+        # bucket size (ADVICE r4 medium)
+        def _path_is_gauss(path) -> bool:
+            for p in path:
+                name = getattr(p, "key", getattr(p, "name", None))
+                if name in gauss_keys:
+                    return True
+            return False
+
+        opt_state = jax.tree_util.tree_map_with_path(
+            lambda path, x: pad_zeros(x) if _path_is_gauss(path) else x,
+            state.opt_state,
+        )
         aux = jax.tree_util.tree_map(pad_zeros, state.aux)
         # recompile for the new shapes on next use
         self._train_step = None
@@ -453,8 +468,14 @@ class SplatPipeline:
             cur_cap = state.params["means"].shape[0]
             if saved_cap > cur_cap:
                 state = self.grow_state(state, saved_cap)
-        except (KeyError, TypeError, AttributeError):
-            pass
+            elif saved_cap < cur_cap:
+                # config/seed points changed between save and restore: rebuild
+                # the template AT the saved capacity instead of letting
+                # StandardRestore fail on a shape mismatch (ADVICE r4)
+                state = self.init_state(n_cap_override=saved_cap)
+        except (KeyError, TypeError, AttributeError) as e:
+            print(f"[splat load] capacity probe failed ({type(e).__name__}: {e}); "
+                  "restoring with the fresh-init template shapes")
         template = {
             "params": state.params,
             "opt_state": state.opt_state,

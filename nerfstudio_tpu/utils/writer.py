@@ -53,6 +53,10 @@ class EventWriter:
                 self._comet = comet_ml.Experiment(project_name="nerfstudio-tpu")
             except ImportError:
                 print("comet selected but comet_ml is not installed; skipping")
+            except Exception as e:  # noqa: BLE001
+                # Experiment() raises (ValueError/ConfigurationError) without
+                # an API key — degrade gracefully like the wandb/tb paths
+                print(f"comet init failed ({type(e).__name__}: {e}); skipping")
 
     def put_scalar(self, name: str, value: float, step: int) -> None:
         if self._tb is not None:

@@ -28,6 +28,12 @@ def blender_dir(tmp_path_factory):
 
 def _tiny(cfg):
     m = cfg.model
+    # this test guards the white-bg COMPOSITING regression; pin the bounded
+    # sampling path so it isn't confounded by the contraction default's
+    # near-camera floater overfit on a 6-view 24px fixture (r5 ablation:
+    # train 45 dB / eval 12 dB at this scale — scale-specific, the 200^2
+    # 40-view gate cells measure the shipped contraction default)
+    m.disable_scene_contraction = True
     m.log2_hashmap_size = 12
     m.max_res = 128
     m.num_coarse_probes = 32

@@ -68,13 +68,25 @@ def set_scene(name: str) -> None:
             col = np.array([0.55 + 0.3 * np.cos(th), 0.45, 0.55 + 0.3 * np.sin(th)])
             SPHERES.append((c, 1.4, np.clip(col, 0.1, 0.9), np.array([0.9, 0.85, 0.75])))
         PLANE_R, SKY, DOME_R = 25.0, True, None
-    elif name == "blender":
+    elif name in ("blender", "dnerf"):
         DOME_R = None  # white void + alpha: the classic blender protocol
         ALPHA = True
     elif name == "distorted":
         DISTORTION = (-0.18, 0.04)
-    elif name not in ("basic", "masked", "semantic"):
+    elif name not in ("basic", "masked", "semantic", "appearance"):
         raise SystemExit(f"unknown scene {name!r}")
+
+
+def set_scene_time(t: float) -> None:
+    """dnerf scene: deterministic time-parameterised geometry. The red
+    center sphere orbits and bobs with t in [0,1] (multi-view consistent at
+    each t; same t => same geometry across splits)."""
+    c = np.array([
+        0.45 * np.cos(2 * np.pi * t),
+        0.45 * np.sin(2 * np.pi * t),
+        0.35 + 0.2 * np.sin(2 * np.pi * t),
+    ])
+    SPHERES[0] = (c, 0.3, np.array([0.85, 0.25, 0.2]), None)
 
 
 def write_png(path: Path, img_u8: np.ndarray) -> None:
@@ -366,7 +378,7 @@ def main() -> None:
                     help="surface seed points written to points3D.ply")
     ap.add_argument("--scene", default="basic",
                     choices=("basic", "blender", "unbounded", "distorted", "masked",
-                             "semantic"))
+                             "semantic", "dnerf", "appearance"))
     args = ap.parse_args()
     set_scene(args.scene)
 
@@ -389,6 +401,10 @@ def main() -> None:
                 [np.cos(theta) * np.cos(phi), np.sin(theta) * np.cos(phi), np.sin(phi)]
             )
             c2w = look_at(pos)
+            frame_time = None
+            if args.scene == "dnerf":
+                frame_time = i / max(n - 1, 1)
+                set_scene_time(frame_time)
             transient = None
             if args.scene == "masked" and split == "train":
                 # per-view floating sphere: NOT multi-view consistent, must
@@ -397,13 +413,27 @@ def main() -> None:
                                rng.uniform(0.7, 1.2)])
                 transient = (tc, 0.16, np.array([0.95, 0.4, 0.75]))
             img, occ, sem = render(c2w, args.hw, focal, transient=transient)
+            if args.scene == "appearance" and split == "train":
+                # per-view exposure/tint (phototourism protocol: unstructured
+                # collections vary in lighting/ISP; the appearance embedding
+                # must absorb it). Tints average to ~neutral so the
+                # mean-embedding eval render matches the untinted eval GT.
+                tint = 1.0 + 0.22 * np.array([
+                    np.sin(2 * np.pi * i / n),
+                    np.sin(2 * np.pi * i / n + 2.1),
+                    np.sin(2 * np.pi * i / n + 4.2),
+                ])
+                img = np.clip(img.astype(np.float64) * tint, 0, 255).astype(np.uint8)
             name = f"./{split}/r_{i}"
             write_png(args.out / split / f"r_{i}.png", img)
             if args.scene == "semantic":
                 write_png(args.out / split / f"s_{i}.png",
                           np.repeat(sem[..., None], 3, axis=-1))
                 sem_paths[f"{split}/r_{i}.png"] = f"{split}/s_{i}.png"
-            frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+            entry = {"file_path": name, "transform_matrix": c2w.tolist()}
+            if frame_time is not None:
+                entry["time"] = frame_time
+            frames.append(entry)
             if args.scene == "masked":
                 # mask: 255 = supervise, 0 = transient pixel (reference
                 # pixel_samplers mask rejection semantics)

@@ -59,7 +59,8 @@ BLENDER_METHODS = {"vanilla-nerf", "mipnerf", "dnerf", "tensorf", "instant-ngp",
 
 
 def make_scenes(root: Path, hw: int, n_train: int, n_test: int) -> None:
-    for scene in ("basic", "blender", "unbounded", "distorted", "masked", "semantic"):
+    for scene in ("basic", "blender", "unbounded", "distorted", "masked", "semantic",
+                  "dnerf", "appearance"):
         out = root / scene
         if (out / "transforms.json").exists():
             print(f"{out} exists, skipping")
@@ -89,8 +90,29 @@ def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path
         # (r4 weak #4 pattern: a cell must test its method's machinery)
         scene_dir = scene_dir.parent / "semantic"
         scene = "semantic"
-    use_blender = method in BLENDER_METHODS and scene != "distorted"
-    if use_blender:
+    if method == "phototourism" and scene == "basic" and (scene_dir.parent / "appearance").exists():
+        # phototourism's cell runs the per-view exposure/tint variant so the
+        # appearance embedding is exercised (r4 weak #4: the basic cell was
+        # bit-identical to nerfacto — zero per-image variation)
+        scene_dir = scene_dir.parent / "appearance"
+        scene = "appearance"
+    parser_routed = False
+    if method == "dnerf" and scene in ("basic", "blender") and (scene_dir.parent / "dnerf").exists():
+        # dnerf's cell runs the TIME-VARYING scene through its own parser so
+        # the temporal-offset MLP is exercised (r4 weak #4: the blender cell
+        # was bit-identical to vanilla-nerf — no time axis, zero method code)
+        from nerfstudio_tpu.data.dataparsers.extra_dataparsers import (
+            DNeRFDataParserConfig,
+        )
+
+        scene_dir = scene_dir.parent / "dnerf"
+        scene = "dnerf"
+        config.dataparser = DNeRFDataParserConfig(data=scene_dir)
+        parser_routed = True
+    use_blender = method in BLENDER_METHODS and scene != "distorted" and not parser_routed
+    if parser_routed:
+        pass
+    elif use_blender:
         from nerfstudio_tpu.data.dataparsers.blender_dataparser import (
             BlenderDataParserConfig,
         )
