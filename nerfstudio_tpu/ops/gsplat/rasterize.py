@@ -44,23 +44,31 @@ def _pix_local():
     return jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # (256, 2)
 
 
-def _chunk_alpha_ch(means2d, conics, ch, opac, gids, pix, in_seg):
-    """One K-chunk of front-to-back inputs.
+def _alpha_from_gathered(g_mean, g_conic, g_opac, pix, in_seg):
+    """Per-entry alpha from already-GATHERED gaussian params.
 
-    gids (C, K) gaussian ids; pix (C, 256, 2); in_seg (C, K) mask.
-    -> alpha (C, 256, K), chv (C, K, 5)."""
-    g_mean = means2d[gids]
-    g_conic = conics[gids]
-    g_opac = opac[gids]
+    g_mean (C, K, 2); g_conic (C, K, 3); g_opac (C, K); pix (C, 256, 2);
+    in_seg (C, K) -> alpha (C, 256, K). Taking gathered arrays as direct
+    inputs makes its VJP produce COMPACT per-entry gradients (C, K, ...) —
+    the backward then does ONE packed row scatter per chunk instead of four
+    full-buffer scatter-adds (the r4 attribution's dominant cost)."""
     d = pix[:, :, None, :] - g_mean[:, None, :, :]  # (C, 256, K, 2)
     a, b, c = g_conic[..., 0], g_conic[..., 1], g_conic[..., 2]
     sigma = 0.5 * (
         a[:, None, :] * d[..., 0] ** 2 + c[:, None, :] * d[..., 1] ** 2
     ) + b[:, None, :] * d[..., 0] * d[..., 1]
     alpha = jnp.minimum(0.999, g_opac[:, None, :] * jnp.exp(-sigma))
-    alpha = jnp.where(
+    return jnp.where(
         (sigma >= 0) & in_seg[:, None, :] & (alpha > 1.0 / 255.0), alpha, 0.0
     )
+
+
+def _chunk_alpha_ch(means2d, conics, ch, opac, gids, pix, in_seg):
+    """One K-chunk of front-to-back inputs.
+
+    gids (C, K) gaussian ids; pix (C, 256, 2); in_seg (C, K) mask.
+    -> alpha (C, 256, K), chv (C, K, 5)."""
+    alpha = _alpha_from_gathered(means2d[gids], conics[gids], opac[gids], pix, in_seg)
     return alpha, ch[gids]
 
 
@@ -132,27 +140,28 @@ def _blend_saturating_fwd(cfg, means2d, conics, ch, opac, idxs):
 
 
 def _blend_saturating_bwd(cfg, res, cot):
+    """Back-to-front replay with COMPACT per-entry gradients.
+
+    Each chunk iteration gathers its entries' params, runs the alpha VJP on
+    the GATHERED arrays (gradients come out (C, K, ...) — no full-buffer
+    scatters inside the pull), packs d{mean2d, conic, ch, opac} into one
+    (C, K, 11) block, and lands it with ONE row scatter-add into the packed
+    (N, 11) accumulator. The r4 structure did four `.at[gids].add` scatters
+    plus four dense (N, ...) adds per iteration — the step's dominant
+    serial cost (PERF.md r4 splat attribution)."""
     K, C, tiles_x = cfg
     means2d, conics, ch, opac, idxs, logT_b, ncs = res
     id_sorted, starts_b, counts_b, tileidx_b = idxs
     g_ch_b, g_logT_b = cot
     k_ar = jnp.arange(K, dtype=jnp.int32)
 
-    zeros = (
-        jnp.zeros_like(means2d),
-        jnp.zeros_like(conics),
-        jnp.zeros_like(ch),
-        jnp.zeros_like(opac),
-    )
+    grads0 = jnp.zeros((means2d.shape[0], 11), jnp.float32)
 
     def batch_bwd(grads, batch):
         c_starts, c_counts, c_tileidx, logT_final, n_c, g_ch, g_logT = batch
         ty = (c_tileidx // tiles_x).astype(jnp.float32) * TILE
         tx = (c_tileidx % tiles_x).astype(jnp.float32) * TILE
         pix = _pix_local()[None] + jnp.stack([tx, ty], axis=-1)[:, None, :]
-
-        def chunk_closure(m2, con, chv_all, op, gids, in_seg):
-            return _chunk_alpha_ch(m2, con, chv_all, op, gids, pix, in_seg)
 
         def body(j, carry):
             grads, logT_exit, GS_carry = carry
@@ -163,12 +172,17 @@ def _blend_saturating_bwd(cfg, res, cot):
             )
             in_seg = off[None, :] < c_counts[:, None]
             gids = id_sorted[entry]
-            (alpha, chv), pull = jax.vjp(
-                lambda m2, con, chl, op: chunk_closure(m2, con, chl, op, gids, in_seg),
-                means2d,
-                conics,
-                ch,
-                opac,
+            g_mean = means2d[gids]
+            g_conic = conics[gids]
+            g_opac = opac[gids]
+            chv = ch[gids]
+            alpha, pull = jax.vjp(
+                lambda m2k, conk, opk: _alpha_from_gathered(
+                    m2k, conk, opk, pix, in_seg
+                ),
+                g_mean,
+                g_conic,
+                g_opac,
             )
             lcum = jnp.cumsum(jnp.log1p(-alpha), axis=-1)
             excl = lcum - jnp.log1p(-alpha)
@@ -183,8 +197,13 @@ def _blend_saturating_bwd(cfg, res, cot):
             one_m = 1.0 - alpha
             dalpha = G * T_k - P / one_m - g_logT[..., None] / one_m
             dchv = jnp.einsum("cpk,cpf->ckf", w, g_ch)
-            dm2, dcon, dch, dop = pull((dalpha, dchv))
-            grads = tuple(g + d for g, d in zip(grads, (dm2, dcon, dch, dop)))
+            d_gmean, d_gconic, d_gopac = pull(dalpha)
+            packed = jnp.concatenate(
+                [d_gmean, d_gconic, dchv, d_gopac[..., None]], axis=-1
+            )  # (C, K, 11)
+            # clamped out-of-segment entries alias real slots — zero them
+            packed = jnp.where(in_seg[..., None], packed, 0.0)
+            grads = grads.at[gids].add(packed)
             GS_carry = GS_carry + jnp.sum(wG, axis=-1)
             return grads, logT_enter, GS_carry
 
@@ -195,10 +214,13 @@ def _blend_saturating_bwd(cfg, res, cot):
 
     grads, _ = jax.lax.scan(
         batch_bwd,
-        zeros,
+        grads0,
         (starts_b, counts_b, tileidx_b, logT_b, ncs, g_ch_b, g_logT_b),
     )
-    dm2, dcon, dch, dop = grads
+    dm2 = grads[:, 0:2]
+    dcon = grads[:, 2:5]
+    dch = grads[:, 5:10].astype(ch.dtype)
+    dop = grads[:, 10].astype(opac.dtype)
     return dm2, dcon, dch, dop, None
 
 

@@ -33,7 +33,10 @@ DEFAULT_STEPS = {
     "nerfacto-big": 3000,
     "nerfacto-huge": 1500,
     "depth-nerfacto": 5000,
-    "instant-ngp": 3000,
+    # 5000 (was 3000): the r5 contraction default (reference parity) spends
+    # hash capacity on the contracted far field and converges slower than the
+    # old bounded path on the white-void blender protocol
+    "instant-ngp": 5000,
     "instant-ngp-bounded": 3000,
     "vanilla-nerf": 8000,
     "mipnerf": 8000,
@@ -109,7 +112,13 @@ def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path
         scene = "dnerf"
         config.dataparser = DNeRFDataParserConfig(data=scene_dir)
         parser_routed = True
-    use_blender = method in BLENDER_METHODS and scene != "distorted" and not parser_routed
+    # distorted + masked are nerfstudio-format only (distortion params /
+    # mask_path are not representable in the blender transforms jsons)
+    use_blender = (
+        method in BLENDER_METHODS
+        and scene not in ("distorted", "masked")
+        and not parser_routed
+    )
     if parser_routed:
         pass
     elif use_blender:

@@ -32,10 +32,19 @@ run_cell 3600 benchmarks/gate_neus_blender.json \
   neus --scenes "$SCENES" --scene basic
 run_cell 3600 benchmarks/gate_neus_facto_blender.json \
   neus-facto --scenes "$SCENES" --scene basic
-run_cell 5400 benchmarks/gate_splatfacto_big.json \
-  splatfacto-big --scenes "$SCENES" --scene basic --steps 8000
-run_cell 5400 benchmarks/gate_splatfacto_mcmc.json \
-  splatfacto-mcmc --scenes "$SCENES" --scene basic --steps 8000
+# splatfacto-big landed via the r4d leftover runner; mcmc only if missing
+[ -f benchmarks/gate_splatfacto_mcmc.json ] || \
+  run_cell 5400 benchmarks/gate_splatfacto_mcmc.json \
+    splatfacto-mcmc --scenes "$SCENES" --scene basic --steps 8000
+# splatfacto scale: 1024^2 / 500k-cap (VERDICT r3 #5, r4 #4 — two rounds
+# overdue). Runs early so it cannot be starved by later-cell overruns.
+if [ ! -f /tmp/gate_scenes_1k/basic/transforms.json ]; then
+  python tools/run_gate_matrix.py --make-scenes /tmp/gate_scenes_1k --hw 1024 \
+    --n-train 30 --n-test 4
+fi
+run_cell 7200 benchmarks/gate_splatfacto_scale1k.json \
+  splatfacto --scenes /tmp/gate_scenes_1k --scene basic \
+  --override max_gaussians=500000 --steps 8000 --tag scale1k
 run_cell 3600 benchmarks/gate_instant_ngp_masked.json \
   instant-ngp --scenes "$SCENES" --scene masked
 run_cell 3600 benchmarks/gate_instant_ngp_blender.json \
