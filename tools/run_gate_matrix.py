@@ -242,6 +242,14 @@ def run_gate(method: str, scene_dir: Path, scene: str, steps: int, out_dir: Path
                 print(f"dumped {dump_images / name} psnr={m['psnr']:.2f} ssim={m['ssim']:.3f}")
 
     result["train_seconds"] = train_s
+    # echo the eval configuration so throughput numbers are comparable
+    # across cells (VERDICT r4 weak #9: 10.5k-74.7k rays/s at one resolution
+    # with no note of which eval path ran)
+    result["eval_config"] = {
+        "eval_chunk": int(eval_chunk),
+        "exact_eval_trilerp": bool(getattr(config.model, "eval_exact_trilerp", False)),
+        "hash_block_layout": bool(getattr(config.model, "field_block", False)),
+    }
     result["metrics"] = {k: round(float(v), 4) for k, v in metrics.items()}
     result["pass_psnr"] = bool(metrics["psnr"] > PSNR_GATE)
     result["pass_ssim"] = bool(metrics["ssim"] > SSIM_GATE)
