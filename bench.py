@@ -52,6 +52,13 @@ def main() -> None:
     _device_watchdog()
     import jax
 
+    # persistent compile cache: the tunneled runtime's compile RPCs run
+    # minutes-slow under congestion (observed r5: a cold bench exceeded 20
+    # min waiting on compiles the gate matrix had already done); reuse the
+    # same cache dir as the gate tool so warm runs skip them entirely
+    jax.config.update("jax_compilation_cache_dir", "/tmp/xla_cache_gate")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _synthetic_setup
     from nerfstudio_tpu.engine.optimizers import build_optimizers
     from nerfstudio_tpu.models.nerfacto import NerfactoModel
