@@ -58,7 +58,12 @@ def test_instant_ngp_blender_protocol_quality(blender_dir):
     pipeline, state, cfg = build_pipeline(cfg, use_mesh=False)
     key = jax.random.PRNGKey(0)
     aux_hook = pipeline.aux_update_fn
-    for step in range(400):
+    # 150 steps: the regimes this test separates sit ~8 dB apart well before
+    # convergence (white-composited ~13+ dB vs background-mismatch ~4 dB),
+    # and the corner-whiteness check below is the direct compositing guard —
+    # 400 steps measured 445 s of the 26-min cold suite (r5) for no extra
+    # regression power
+    for step in range(150):
         key, k_aux, k = jax.random.split(key, 3)
         if aux_hook is not None:
             state = aux_hook(state, step, k_aux)
@@ -66,10 +71,9 @@ def test_instant_ngp_blender_protocol_quality(blender_dir):
     assert np.isfinite(float(m["loss"]))
 
     metrics, images = pipeline.get_eval_image_metrics_and_images(state, 0, chunk_size=1 << 12)
-    # a correct model on this trivial sphere reaches >20 even at 400 steps;
-    # the background-mismatch failure mode scores ~4 (white GT vs black bg),
-    # so 14 separates the regimes with margin for CPU/seed jitter
-    assert metrics["psnr"] > 14.0, f"blender-protocol eval broke: {metrics}"
+    # a correct model on this trivial sphere clears 11 by 150 steps; the
+    # background-mismatch failure mode scores ~4 (white GT vs black bg)
+    assert metrics["psnr"] > 11.0, f"blender-protocol eval broke: {metrics}"
 
     # the void region of the render must actually be WHITE (composited onto
     # the dataparser's alpha_color), not black
