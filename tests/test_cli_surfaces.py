@@ -58,6 +58,19 @@ def test_eval_cli_from_run_dir(run_dir, tmp_path):
     assert "psnr" in res["results"] and res["results"]["psnr"] > 0
 
 
+def test_export_cli_cameras_and_pointcloud(run_dir, tmp_path):
+    from nerfstudio_tpu.scripts.exporter import main as export_main
+
+    out = tmp_path / "exports"
+    export_main(["cameras", "--load-config", str(run_dir),
+                 "--output-dir", str(out)])
+    export_main(["pointcloud", "--load-config", str(run_dir),
+                 "--output-dir", str(out), "--num-points", "2000"])
+    files = {f.name for f in out.glob("*")}
+    assert any("camera" in n or n.endswith(".json") for n in files), files
+    assert any(n.endswith(".ply") for n in files), files
+
+
 def test_render_cli_interpolate(run_dir, tmp_path):
     from nerfstudio_tpu.scripts.render import main as render_main
 
