@@ -1,13 +1,22 @@
 """SDF field for NeuS/VolSDF surface reconstruction (reference:
 nerfstudio/fields/sdf_field.py:111-460).
 
-Geometric initialization (sphere SDF prior), LearnedVariance (inv_s), NeuS
-alpha from SDF section estimates with cos annealing, numerical or analytical
-gradients for normals."""
+Geometric (SAL sphere) initialization, LearnedVariance (inv_s), NeuS alpha
+from SDF section estimates with cos annealing, weight-normalized geometric
+MLP with the reference's skip connection at layer 4.
+
+Layout note (r5 root-cause of the ~12 dB neus gates): the geometric net's
+input is ``[xyz, positional_encoding]`` with the RAW xyz FIRST (reference
+sdf_field.py:266-268 concatenates inputs before the encoding). The SAL init
+zeroes the first layer's weights on every encoding dim and draws only the
+xyz rows, so the net starts as an exact sphere SDF with |grad|=1. The old
+code appended xyz LAST (``include_input=True``) while still zeroing rows
+3:, i.e. it kept three sin-features and killed the xyz path — the field
+initialized with |grad| ~ 10 and the eikonal term dominated training."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -23,7 +32,7 @@ from nerfstudio_tpu.field_components.field_heads import FieldHeadNames
 class LearnedVariance(nn.Module):
     """exp(10 * variance) single learned scalar (reference sdf_field.py:39-57)."""
 
-    init_val: float = 0.3
+    init_val: float = 0.1
 
     @nn.compact
     def __call__(self) -> jnp.ndarray:
@@ -31,17 +40,66 @@ class LearnedVariance(nn.Module):
         return jnp.exp(variance * 10.0)
 
 
-def _geometric_init(key, shape, out_bias=0.5, last_layer=False, first_layer=False, in_dim_raw=3):
-    """SAL geometric init (reference sdf_field.py:167-203)."""
+class WNDense(nn.Module):
+    """Weight-normalized Dense: y = x @ (g * v / ||v||_col) + b.
+
+    The scale ``g`` initializes to the column norms of the initial kernel,
+    so the function at init equals the plain geometric init exactly (torch
+    ``weight_norm`` semantics — reference sdf_field.py:247 wraps every geo
+    layer when ``weight_norm=True``, the shipped default)."""
+
+    features: int
+    kernel_init: nn.initializers.Initializer
+    bias_init: nn.initializers.Initializer
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        v = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
+        g = self.param("scale", lambda key, shape: jnp.linalg.norm(v, axis=0), (self.features,))
+        b = self.param("bias", self.bias_init, (self.features,))
+        norm = jnp.maximum(jnp.linalg.norm(v, axis=0), 1e-12)
+        return x @ (v * (g / norm)) + b
+
+
+def _first_layer_init(key, shape, dtype=jnp.float32):
+    """Zero every encoding row, draw the 3 raw-xyz rows (reference :236-238).
+
+    Kernel is (in, out); the geo input layout is [xyz(3), pe...]."""
     fan_in, fan_out = shape
-    if last_layer:
-        mean = float(np.sqrt(np.pi) / np.sqrt(fan_in))
-        return mean + 0.0001 * jax.random.normal(key, shape)
-    w = jax.random.normal(key, shape) * np.sqrt(2.0 / fan_out)
-    if first_layer:
-        # zero weights for the positional-encoding part (keep raw xyz)
-        w = w.at[in_dim_raw:, :].set(0.0)
+    w = jnp.zeros(shape, dtype)
+    w = w.at[:3, :].set(
+        jax.random.normal(key, (3, fan_out), dtype) * np.sqrt(2.0 / fan_out)
+    )
     return w
+
+
+def _skip_layer_init(in_dim0: int):
+    """Skip-consuming layer: normal everywhere, zero the PE rows of the
+    re-concatenated input (keep its xyz rows live — reference :239-242)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape
+        w = jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / fan_out)
+        # the concat tail is [xyz(3), pe(in_dim0-3)]; zero the pe rows
+        return w.at[fan_in - (in_dim0 - 3):, :].set(0.0)
+
+    return init
+
+
+def _hidden_layer_init(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape
+    return jax.random.normal(key, shape, dtype) * np.sqrt(2.0 / fan_out)
+
+
+def _last_layer_init(sign: float):
+    """normal(mean=sign*sqrt(pi)/sqrt(fan_in), std=1e-4) (reference :229-234)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape
+        mean = sign * float(np.sqrt(np.pi) / np.sqrt(fan_in))
+        return mean + 0.0001 * jax.random.normal(key, shape, dtype)
+
+    return init
 
 
 class SDFField(nn.Module):
@@ -54,17 +112,24 @@ class SDFField(nn.Module):
     hidden_dim_color: int = 256
     appearance_embedding_dim: int = 32
     num_images: int = 1
-    bias: float = 0.5  # sphere radius for geometric init
+    bias: float = 0.8  # sphere radius for geometric init (reference :79-80)
     geometric_init: bool = True
-    use_appearance_embedding: bool = True
+    # False = object-centric outward sphere (DTU/blender protocol); True =
+    # inverted init for inward-facing indoor captures (reference default is
+    # True for its sdfstudio/ScanNet protocol; our shipped gate protocol is
+    # bounded objects, so False ships — flip via config for indoor scenes)
+    inside_outside: bool = False
+    weight_norm: bool = True
+    use_appearance_embedding: bool = False  # reference sdf_field.py:77
     use_average_appearance_embedding: bool = False
     use_numerical_gradients: bool = False
     numerical_gradient_delta: float = 1e-4
+    skip_in: tuple = (4,)
     train: bool = True
 
     def setup(self):
         self.position_encoding = NeRFEncoding(
-            in_dim=3, num_frequencies=6, min_freq_exp=0.0, max_freq_exp=5.0, include_input=True
+            in_dim=3, num_frequencies=6, min_freq_exp=0.0, max_freq_exp=5.0, include_input=False
         )
         self.direction_encoding = NeRFEncoding(
             in_dim=3, num_frequencies=4, min_freq_exp=0.0, max_freq_exp=3.0, include_input=True
@@ -73,32 +138,38 @@ class SDFField(nn.Module):
             self.embedding_appearance = Embedding(self.num_images, self.appearance_embedding_dim)
         self.deviation_network = LearnedVariance()
 
-        in_dim = self.position_encoding.get_out_dim()
+        in_dim = 3 + self.position_encoding.get_out_dim()
         dims = [in_dim] + [self.hidden_dim] * (self.num_layers - 1) + [1 + self.geo_feat_dim]
+        # a skip is representable only when the receiving hidden width
+        # exceeds the input dim (tiny test configs shrink hidden below it)
+        self._skips = tuple(
+            s for s in self.skip_in if 0 < s < len(dims) - 1 and dims[s] - in_dim > 0
+        )
+        Dense = WNDense if self.weight_norm else (
+            lambda features, kernel_init, bias_init: nn.Dense(
+                features, kernel_init=kernel_init, bias_init=bias_init
+            )
+        )
         layers = []
         for i in range(len(dims) - 1):
-            first = i == 0
+            out_dim = dims[i + 1] - in_dim if (i + 1) in self._skips else dims[i + 1]
             last = i == len(dims) - 2
-
-            def make_init(first=first, last=last, fan=(dims[i], dims[i + 1])):
-                def init(key, shape, dtype=jnp.float32):
-                    if not self.geometric_init:
-                        return nn.initializers.lecun_normal()(key, shape, dtype)
-                    return _geometric_init(key, shape, last_layer=last, first_layer=first)
-
-                return init
-
-            def bias_init(last=last):
-                def init(key, shape, dtype=jnp.float32):
-                    if self.geometric_init and last:
-                        return jnp.full(shape, -self.bias)
-                    return jnp.zeros(shape)
-
-                return init
-
-            layers.append(
-                nn.Dense(dims[i + 1], kernel_init=make_init(), bias_init=bias_init())
-            )
+            if not self.geometric_init:
+                kinit = nn.initializers.lecun_normal()
+            elif last:
+                kinit = _last_layer_init(-1.0 if self.inside_outside else 1.0)
+            elif i == 0:
+                kinit = _first_layer_init
+            elif i in self._skips:
+                kinit = _skip_layer_init(in_dim)
+            else:
+                kinit = _hidden_layer_init
+            if self.geometric_init and last:
+                sdf_bias = self.bias if self.inside_outside else -self.bias
+                binit = lambda key, shape, dtype=jnp.float32, b=sdf_bias: jnp.full(shape, b, dtype)
+            else:
+                binit = nn.initializers.zeros
+            layers.append(Dense(out_dim, kernel_init=kinit, bias_init=binit))
         self.glin = layers
 
         color_in = (
@@ -116,9 +187,14 @@ class SDFField(nn.Module):
 
     # ------------------------------------------------------------------
     def forward_geonetwork(self, positions: jnp.ndarray) -> jnp.ndarray:
-        """positions -> (sdf, geo_features) concatenated (reference :255-292)."""
-        h = self.position_encoding(positions)
+        """positions -> (sdf, geo_features) concatenated (reference :255-292).
+
+        Input layout [xyz, pe] (raw first) — see module docstring."""
+        inputs = jnp.concatenate([positions, self.position_encoding(positions)], axis=-1)
+        h = inputs
         for i, layer in enumerate(self.glin):
+            if i in self._skips:
+                h = jnp.concatenate([h, inputs], axis=-1) / np.sqrt(2.0)
             h = layer(h)
             if i < len(self.glin) - 1:
                 h = jax.nn.softplus(h * 100.0) / 100.0  # beta=100 softplus

@@ -42,6 +42,17 @@ class NeuSModelConfig(ModelConfig):
     eikonal_loss_mult: float = 0.1
     cos_anneal_end: int = 20000
     use_sphere_collider: bool = True
+    # SDF field hyperparameters, forwarded to SDFField (reference nests an
+    # SDFFieldConfig at base_surface_model.py:69; flattened here)
+    num_layers: int = 8
+    hidden_dim: int = 256
+    geo_feat_dim: int = 256
+    num_layers_color: int = 4
+    hidden_dim_color: int = 256
+    sdf_bias: float = 0.8
+    inside_outside: bool = False
+    sdf_weight_norm: bool = True
+    use_appearance_embedding: bool = False
 
     def __post_init__(self):
         if self._target is None:
@@ -54,7 +65,20 @@ class NeuSModel(Model):
     config: NeuSModelConfig = None
 
     def setup(self):
-        self.field = SDFField(num_images=self.num_train_data, train=self.train)
+        cfg = self.config
+        self.field = SDFField(
+            num_images=self.num_train_data,
+            train=self.train,
+            num_layers=cfg.num_layers,
+            hidden_dim=cfg.hidden_dim,
+            geo_feat_dim=cfg.geo_feat_dim,
+            num_layers_color=cfg.num_layers_color,
+            hidden_dim_color=cfg.hidden_dim_color,
+            bias=cfg.sdf_bias,
+            inside_outside=cfg.inside_outside,
+            weight_norm=cfg.sdf_weight_norm,
+            use_appearance_embedding=cfg.use_appearance_embedding,
+        )
 
     def sample_and_render(
         self, ray_bundle: RayBundle, ray_samples: RaySamples, cos_anneal: float, k_bg
@@ -167,7 +191,20 @@ class NeuSFactoModel(NeuSModel):
     config: NeuSFactoModelConfig = None
 
     def setup(self):
-        self.field = SDFField(num_images=self.num_train_data, train=self.train)
+        cfg = self.config
+        self.field = SDFField(
+            num_images=self.num_train_data,
+            train=self.train,
+            num_layers=cfg.num_layers,
+            hidden_dim=cfg.hidden_dim,
+            geo_feat_dim=cfg.geo_feat_dim,
+            num_layers_color=cfg.num_layers_color,
+            hidden_dim_color=cfg.hidden_dim_color,
+            bias=cfg.sdf_bias,
+            inside_outside=cfg.inside_outside,
+            weight_norm=cfg.sdf_weight_norm,
+            use_appearance_embedding=cfg.use_appearance_embedding,
+        )
         self.proposal_networks = [
             HashMLPDensityField(use_spatial_distortion=False)
             for _ in range(self.config.num_proposal_iterations)
