@@ -42,8 +42,12 @@ DEFAULT_STEPS = {
     "mipnerf": 8000,
     "dnerf": 8000,
     "tensorf": 5000,
-    "neus": 6000,
-    "neus-facto": 6000,
+    # NeuS's reference protocol is 100k steps with a 5k-step lr warmup
+    # (configs/method_configs.py:519,533); at gate scale the warmup eats a
+    # 6k run — CPU trajectory probe (exp/neus_diag.py): eval 9.7 dB init ->
+    # 13.5 at 1200 steps at quarter batch, still climbing
+    "neus": 12000,
+    "neus-facto": 8000,
     "semantic-nerfw": 5000,
     "phototourism": 5000,
     "splatfacto": 15000,
