@@ -65,11 +65,13 @@ class InstantNGPModelConfig(ModelConfig):
     # (probes through UniformLinDispPiecewise spacing reach unbounded content).
     # instant-ngp-bounded registers True for the classic AABB path.
     disable_scene_contraction: bool = False
-    # 0.01 (nerfacto's value): under contraction the disparity-tail bins have
-    # huge dt, and init density 1.0 makes the far field OPAQUE at init — the
-    # model never trains past it (r5 ablation: train PSNR stuck at 11 with
-    # 1.0 vs 35+ with 0.01 at far_plane=1000)
-    average_init_density: float = 0.01
+    # None -> per-variant: 1.0 when bounded (the r4 gate-proven operating
+    # point — flattening it to 0.01 for ALL variants regressed the bounded
+    # blender cell 27.0 -> 17.2 dB, r5), 0.01 under contraction (nerfacto's
+    # value: the disparity-tail bins have huge dt, and init density 1.0
+    # makes the far field OPAQUE at init — the model never trains past it;
+    # r5 ablation: train PSNR stuck at 11 with 1.0 at far_plane=1000)
+    average_init_density: Optional[float] = None
     occ_threshold: float = 0.01
     occ_ema_decay: float = 0.95
     # unbiased half-cost hash-table backward (see nerfacto config note)
@@ -90,6 +92,12 @@ class InstantNGPModel(Model):
 
     config: InstantNGPModelConfig = None
 
+    @staticmethod
+    def resolved_init_density(cfg: "InstantNGPModelConfig") -> float:
+        if cfg.average_init_density is not None:
+            return cfg.average_init_density
+        return 1.0 if cfg.disable_scene_contraction else 0.01
+
     def setup(self):
         cfg = self.config
         self.field = NerfactoField(
@@ -102,7 +110,7 @@ class InstantNGPModel(Model):
             use_appearance_embedding=cfg.use_appearance_embedding,
             appearance_embedding_dim=32 if cfg.use_appearance_embedding else 0,
             disable_scene_contraction=cfg.disable_scene_contraction,
-            average_init_density=cfg.average_init_density,
+            average_init_density=self.resolved_init_density(cfg),
             bwd_corner_sample=cfg.hash_grad_corner_sample,
             z_pair=cfg.field_z_pair,
             hash_block=cfg.field_block,
