@@ -79,12 +79,18 @@ def set_scene(name: str) -> None:
 
 def set_scene_time(t: float) -> None:
     """dnerf scene: deterministic time-parameterised geometry. The red
-    center sphere orbits and bobs with t in [0,1] (multi-view consistent at
-    each t; same t => same geometry across splits)."""
+    center sphere sweeps a half orbit and bobs with t in [0,1] (multi-view
+    consistent at each t; same t => same geometry across splits).
+
+    Half orbit (pi, was 2*pi): test times fall between train times, so the
+    deformation MLP must interpolate in t; a full-circle sweep (~2.8 units
+    of travel across a 1.5-unit scene) demanded temporal interpolation far
+    beyond the D-NeRF data regime and the eval DIVERGED while train
+    improved (r5: train 13.3 / eval 10.0 at 4000 steps, exp/dnerf_diag.py)."""
     c = np.array([
-        0.45 * np.cos(2 * np.pi * t),
-        0.45 * np.sin(2 * np.pi * t),
-        0.35 + 0.2 * np.sin(2 * np.pi * t),
+        0.45 * np.cos(np.pi * t),
+        0.45 * np.sin(np.pi * t),
+        0.35 + 0.2 * np.sin(np.pi * t),
     ])
     SPHERES[0] = (c, 0.3, np.array([0.85, 0.25, 0.2]), None)
 
